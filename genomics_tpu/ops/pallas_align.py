@@ -1,0 +1,220 @@
+"""Pallas TPU kernels for batched affine-gap DP — the fast path.
+
+Layout (TPU-first, see /opt/skills/guides/pallas_guide.md):
+- batch in the LANE dimension (128 alignments per tile),
+- query positions along SUBLANES ([Lq, 128] int32 state tiles),
+- `fori_loop` sweep over target positions, H/E state carried in VMEM —
+  zero HBM traffic per cell except traceback emission.
+
+This is the TPU replacement for GASAL2's alignment-per-thread CUDA
+kernels (local_kernel_template.h:72-519): where a CUDA thread holds
+`short2 global[MAX_QUERY_LEN]` in registers and walks 8x8 tiles, a TPU
+program holds the whole [Lq, 128] column state for 128 alignments and
+updates Lq*128 cells per loop step on the VPU.  The horizontal gap
+chain is a max-plus prefix scan along sublanes (log2(Lq) roll+max
+steps).  Recurrences and tie-breaking match ops/scan_align.py exactly
+(which is gold-parity tested); kernels here are tested against the scan
+engines and the golds.
+
+Grid: one program per 128-alignment batch tile.  Scores int32;
+traceback nibbles packed 8 cells / int32 along the query axis (same
+4-bit semantics as the scan engine / get_tb.h).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from genomics_tpu.core.encoding import N4
+from genomics_tpu.core.scoring import AlignmentParams
+from genomics_tpu.ops.scan_align import AlignResult, MINUS_INF
+
+LANES = 128
+NEG_BIG = -(1 << 28)  # python int: kernels must not capture array constants
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _row_iota(Lq):
+    return jax.lax.broadcasted_iota(jnp.int32, (Lq, LANES), 0)
+
+
+def _shift_down_rows(x, fill_row):
+    """[Lq, 128] → row j reads row j-1; row 0 = fill_row ([1,128] or scalar)."""
+    Lq = x.shape[0]
+    rolled = pltpu.roll(x, shift=1, axis=0)
+    rows = _row_iota(Lq)
+    return jnp.where(rows == 0, fill_row, rolled)
+
+
+def _cummax_rows(x):
+    """Inclusive running max along axis 0 (Hillis–Steele, log2 steps)."""
+    Lq = x.shape[0]
+    rows = _row_iota(Lq)
+    k = 1
+    while k < Lq:
+        shifted = pltpu.roll(x, shift=k, axis=0)
+        x = jnp.where(rows >= k, jnp.maximum(x, shifted), x)
+        k <<= 1
+    return x
+
+
+def _fscan_rows(g, seed, ge):
+    """f[0] = seed; f[j] = max(g[j-1], f[j-1] - ge), along axis 0.
+
+    Same max-plus scan as scan_align._fscan, on the [Lq, 128] layout."""
+    Lq = g.shape[0]
+    rows = _row_iota(Lq)
+    c = g + (rows + 1) * ge
+    cm = _cummax_rows(c)
+    w = jnp.maximum(seed, _shift_down_rows(cm, jnp.full((), NEG_BIG, jnp.int32)))
+    return w - rows * ge
+
+
+def _sub_scores_tile(q_tile, t_row, match, mismatch, n_penalty, global_macro):
+    """[Lq,128] codes vs [1,128] target base → [Lq,128] int32 scores."""
+    eq = q_tile == t_row
+    s = jnp.where(eq, jnp.int32(match), jnp.int32(-mismatch))
+    is_n = (q_tile == N4) | (t_row == N4)
+    if n_penalty is not None:
+        s = jnp.where(is_n, jnp.int32(-n_penalty), s)
+    elif not global_macro:
+        s = jnp.where(is_n, jnp.int32(0), s)
+    return s
+
+
+def _pack_nibbles(nib, Lq):
+    """[Lq,128] int32 nibbles → [Lq//8,128] int32, 8 cells packed along
+    the query axis (cell j in bits 4*(j%8)..4*(j%8)+3)."""
+    shifted = nib << (4 * (_row_iota(Lq) % 8))
+    packed = shifted.reshape(Lq // 8, 8, LANES).sum(axis=1)
+    return packed
+
+
+# ---------------------------------------------------------------------------
+# LOCAL kernel
+# ---------------------------------------------------------------------------
+
+
+def _local_kernel(q_ref, t_ref, out_score, out_qend, out_tend, *rest, params,
+                  Lq, Lt, with_tb):
+    if with_tb:
+        (tb_ref,) = rest
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    q_tile = q_ref[...]
+    zero = jnp.zeros((Lq, LANES), jnp.int32)
+    seed0 = jnp.zeros((Lq, LANES), jnp.int32)
+    rows = _row_iota(Lq)
+
+    def step(i, carry):
+        H, E, best, bkey = carry
+        t_row = t_ref[pl.ds(i, 1), :]
+        sub = _sub_scores_tile(
+            q_tile, t_row, params.match, params.mismatch, params.n_penalty, False
+        )
+        tmp = _shift_down_rows(H, jnp.int32(0)) + sub
+        f_used = _fscan_rows(tmp - goe, seed0, ge)
+        h = jnp.maximum(jnp.maximum(tmp, f_used), jnp.maximum(E, 0))
+        E_new = jnp.maximum(tmp - goe, E - ge)
+        # strip-order argmax: leftmost row max, lexicographic merge
+        rh = jnp.max(h, axis=0, keepdims=True)
+        row_j = jnp.min(jnp.where(h == rh, rows, jnp.int32(1 << 28)), axis=0,
+                        keepdims=True)
+        rkey = ((i >> 3) * Lq + row_j) * 8 + (i & 7)
+        take = (rh > best) | ((rh == best) & (rkey < bkey))
+        best = jnp.where(take, rh, best)
+        bkey = jnp.where(take, rkey, bkey)
+        if with_tb:
+            m_or_x = jnp.where(sub >= 0, jnp.int32(0), jnp.int32(1))
+            d = jnp.where(h == tmp, m_or_x,
+                          jnp.where(h == f_used, jnp.int32(3), jnp.int32(2)))
+            f_ext = jnp.where((tmp - goe) > (f_used - ge), 0, 1)
+            e_ext = jnp.where((tmp - goe) > (E - ge), 0, 1)
+            nib = d | (e_ext << 2) | (f_ext << 3)
+            tb_ref[pl.ds(i, 1), :, :] = _pack_nibbles(nib, Lq)[None]
+        return (h, E_new, best, bkey)
+
+    init = (
+        zero,
+        zero,
+        jnp.zeros((1, LANES), jnp.int32),
+        jnp.full((1, LANES), jnp.int32(jnp.iinfo(jnp.int32).max)),
+    )
+    H, E, best, bkey = jax.lax.fori_loop(0, Lt, step, init)
+    cell = bkey >> 3
+    qend = cell % Lq
+    tend = (cell // Lq) * 8 + (bkey & 7)
+    nz = best > 0
+    out_score[...] = best
+    out_qend[...] = jnp.where(nz, qend, 0)
+    out_tend[...] = jnp.where(nz, tend, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "with_tb"))
+def local_align_tpu(
+    q: jnp.ndarray,   # [B, Lq] uint8, B % 128 == 0, Lq % 8 == 0
+    t: jnp.ndarray,   # [B, Lt]
+    params: AlignmentParams,
+    with_tb: bool = False,
+) -> AlignResult:
+    """Batched GASAL2-local on TPU via Pallas.  Returns AlignResult; tb
+    (if requested) is [B, Lt, Lq//8] int32 packed nibbles."""
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    assert B % LANES == 0 and Lq % 8 == 0
+    qT = q.T.astype(jnp.int32)   # [Lq, B]
+    tT = t.T.astype(jnp.int32)   # [Lt, B]
+    ntiles = B // LANES
+
+    out_shape = [
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+        for _ in range(3)
+    ]
+    if with_tb:
+        out_shape.append(jax.ShapeDtypeStruct((Lt, Lq // 8, B), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec(
+                (Lt, Lq // 8, LANES), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+            )
+        )
+
+    kernel = functools.partial(
+        _local_kernel, params=params, Lq=Lq, Lt=Lt, with_tb=with_tb
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((Lq, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        out_specs=out_specs,
+        interpret=_interpret(),
+    )(qT, tT)
+    score, qend, tend = res[0][0], res[1][0], res[2][0]
+    tb = jnp.transpose(res[3], (2, 0, 1)) if with_tb else None
+    return AlignResult(score, qend, tend, tb)
+
+
+def unpack_tb_nibbles(packed: np.ndarray) -> np.ndarray:
+    """[B?, Lt, Lq//8] int32 packed → [..., Lt, Lq] uint8 nibble matrix
+    (the golds.decode_tb input format)."""
+    packed = np.asarray(packed)
+    shifts = (4 * np.arange(8, dtype=np.int64))[None, :]
+    flat = packed[..., None] >> shifts.reshape((1,) * (packed.ndim) + (8,))
+    out = (flat & 0xF).astype(np.uint8)
+    return out.reshape(*packed.shape[:-1], packed.shape[-1] * 8)

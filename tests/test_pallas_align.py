@@ -1,0 +1,53 @@
+"""Parity: Pallas TPU kernels vs scan engines (and thus the golds).
+
+On CPU these run in interpret mode; on real TPU (GENOMICS_TPU_TEST_TPU=1)
+they compile via Mosaic.  Either way results must be bit-identical to the
+scan engines."""
+import numpy as np
+import jax.numpy as jnp
+
+from genomics_tpu.core.batch import PairBatch
+from genomics_tpu.core.scoring import AlignmentParams
+from genomics_tpu.ops import pallas_align, scan_align
+
+P = AlignmentParams()
+
+
+def make_batch(rng, n=128, qmax=48, tmax=64, q_pad=48, t_pad=64):
+    qs = ["".join(rng.choice(list("ACGT"), rng.integers(1, qmax))) for _ in range(n)]
+    ts = ["".join(rng.choice(list("ACGT"), rng.integers(1, tmax))) for _ in range(n)]
+    return PairBatch.from_strings(qs, ts, q_pad=q_pad, t_pad=t_pad, pad_batch=n)
+
+
+def test_local_kernel_matches_scan():
+    rng = np.random.default_rng(0)
+    pb = make_batch(rng)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    res = pallas_align.local_align_tpu(q, t, P)
+    ref = scan_align.local_align_batch(q, t, P)
+    np.testing.assert_array_equal(np.asarray(res.score), np.asarray(ref.score))
+    np.testing.assert_array_equal(np.asarray(res.query_end), np.asarray(ref.query_end))
+    np.testing.assert_array_equal(
+        np.asarray(res.target_end), np.asarray(ref.target_end)
+    )
+
+
+def test_local_kernel_tb_matches_scan():
+    rng = np.random.default_rng(1)
+    pb = make_batch(rng)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    res = pallas_align.local_align_tpu(q, t, P, with_tb=True)
+    ref = scan_align.local_align_batch(q, t, P, with_tb=True)
+    tbn = pallas_align.unpack_tb_nibbles(np.asarray(res.tb))
+    np.testing.assert_array_equal(tbn, np.asarray(ref.tb))
+
+
+def test_local_kernel_multi_tile():
+    """Grid > 1: 256 alignments = 2 lane tiles."""
+    rng = np.random.default_rng(2)
+    pb = make_batch(rng, n=256)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    res = pallas_align.local_align_tpu(q, t, P)
+    ref = scan_align.local_align_batch(q, t, P)
+    np.testing.assert_array_equal(np.asarray(res.score), np.asarray(ref.score))
+    np.testing.assert_array_equal(np.asarray(res.query_end), np.asarray(ref.query_end))
