@@ -218,3 +218,244 @@ def unpack_tb_nibbles(packed: np.ndarray) -> np.ndarray:
     flat = packed[..., None] >> shifts.reshape((1,) * (packed.ndim) + (8,))
     out = (flat & 0xF).astype(np.uint8)
     return out.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+
+
+# ---------------------------------------------------------------------------
+# GLOBAL kernel
+# ---------------------------------------------------------------------------
+
+
+def _global_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_score, *rest,
+                   params, Lq, Lt, with_tb):
+    if with_tb:
+        (tb_ref,) = rest
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    gapo = jnp.int32(params.gap_open)
+    q_tile = q_ref[...]
+    qlen = qlen_ref[...]          # [1, 128]
+    tlen = tlen_ref[...]
+    rows = _row_iota(Lq)
+    H0 = jnp.where(rows == 0, 0, -(gapo + ge * rows))
+    E0 = jnp.full((Lq, LANES), MINUS_INF, jnp.int32)
+    seed_inf = jnp.full((Lq, LANES), MINUS_INF, jnp.int32)
+
+    def step(i, carry):
+        H, E, score = carry
+        t_row = t_ref[pl.ds(i, 1), :]
+        sub = _sub_scores_tile(
+            q_tile, t_row, params.match, params.mismatch, params.n_penalty, True
+        )
+        diag0 = jnp.where(i == 0, jnp.int32(0), -(gapo + ge * i))
+        tmp = _shift_down_rows(H, diag0) + sub
+        f_used = _fscan_rows(tmp - goe, seed_inf, ge)
+        h = jnp.maximum(jnp.maximum(tmp, f_used), E)
+        E_new = jnp.maximum(tmp - goe, E - ge)
+        # capture H(i, qlen-1) when i == tlen-1 (per lane)
+        at_last = jnp.max(
+            jnp.where(rows == (qlen - 1), h, jnp.int32(NEG_BIG)), axis=0,
+            keepdims=True,
+        )
+        score = jnp.where(i == (tlen - 1), at_last, score)
+        if with_tb:
+            m_or_x = jnp.where(sub >= 0, jnp.int32(0), jnp.int32(1))
+            d = jnp.where(h == tmp, m_or_x,
+                          jnp.where(h == f_used, jnp.int32(3), jnp.int32(2)))
+            f_ext = jnp.where((tmp - goe) > (f_used - ge), 0, 1)
+            e_ext = jnp.where((tmp - goe) > (E - ge), 0, 1)
+            nib = d | (e_ext << 2) | (f_ext << 3)
+            tb_ref[pl.ds(i, 1), :, :] = _pack_nibbles(nib, Lq)[None]
+        return (h, E_new, score)
+
+    init = (H0, E0, jnp.zeros((1, LANES), jnp.int32))
+    H, E, score = jax.lax.fori_loop(0, Lt, step, init)
+    out_score[...] = score
+
+
+@functools.partial(jax.jit, static_argnames=("params", "with_tb"))
+def global_align_tpu(
+    q: jnp.ndarray,
+    t: jnp.ndarray,
+    qlen: jnp.ndarray,
+    tlen: jnp.ndarray,
+    params: AlignmentParams,
+    with_tb: bool = False,
+) -> AlignResult:
+    """Batched GASAL2-global on TPU via Pallas (global.h semantics)."""
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    assert B % LANES == 0 and Lq % 8 == 0
+    qT = q.T.astype(jnp.int32)
+    tT = t.T.astype(jnp.int32)
+    qlenT = jnp.asarray(qlen, jnp.int32)[None, :]
+    tlenT = jnp.asarray(tlen, jnp.int32)[None, :]
+    ntiles = B // LANES
+
+    out_shape = [jax.ShapeDtypeStruct((1, B), jnp.int32)]
+    out_specs = [
+        pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+    ]
+    if with_tb:
+        out_shape.append(jax.ShapeDtypeStruct((Lt, Lq // 8, B), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec(
+                (Lt, Lq // 8, LANES), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+            )
+        )
+    kernel = functools.partial(
+        _global_kernel, params=params, Lq=Lq, Lt=Lt, with_tb=with_tb
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((Lq, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        out_specs=out_specs,
+        interpret=_interpret(),
+    )(qT, tT, qlenT, tlenT)
+    score = res[0][0]
+    tb = jnp.transpose(res[1], (2, 0, 1)) if with_tb else None
+    return AlignResult(score, jnp.asarray(qlen, jnp.int32) - 1,
+                       jnp.asarray(tlen, jnp.int32) - 1, tb)
+
+
+# ---------------------------------------------------------------------------
+# SEMI-GLOBAL kernel
+# ---------------------------------------------------------------------------
+
+
+def _semiglobal_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
+                       out_score, out_qend, out_tend, *, params, Lq, Lt,
+                       head_q, head_t, tail_q, tail_t):
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    gapo = jnp.int32(params.gap_open)
+    q_tile = q_ref[...]
+    qlen = qlen_ref[...]
+    tlen = tlen_ref[...]
+    rows = _row_iota(Lq)
+    if head_q:
+        H0 = jnp.zeros((Lq, LANES), jnp.int32)
+        E0 = jnp.zeros((Lq, LANES), jnp.int32)
+    else:
+        H0 = jnp.where(rows == 0, 0, -(gapo + ge * rows))
+        E0 = jnp.full((Lq, LANES), MINUS_INF, jnp.int32)
+    t_last8 = ((tlen + 7) // 8) * 8 - 1   # [1, 128]
+
+    def step(i, carry):
+        H, E, bT_score, bT_pos, Hsnap = carry
+        t_row = t_ref[pl.ds(i, 1), :]
+        sub = _sub_scores_tile(
+            q_tile, t_row, params.match, params.mismatch, params.n_penalty, False
+        )
+        if head_t:
+            diag0 = jnp.int32(0)
+            left0 = jnp.int32(0)
+        else:
+            diag0 = jnp.where(i == 0, jnp.int32(0), -(gapo + ge * i))
+            left0 = -(gapo + ge * i)
+        tmp = _shift_down_rows(H, diag0) + sub
+        E_used = jnp.maximum(H - goe, E - ge)
+        g = jnp.maximum(tmp, E_used) - goe
+        fseed = jnp.broadcast_to(
+            jnp.maximum(left0 - goe, jnp.int32(MINUS_INF) - ge), (Lq, LANES)
+        )
+        f_used = _fscan_rows(g, fseed, ge)
+        h = jnp.maximum(jnp.maximum(tmp, f_used), E_used)
+        lastq = jnp.max(
+            jnp.where(rows == (qlen - 1), h, jnp.int32(NEG_BIG)), axis=0,
+            keepdims=True,
+        )
+        if tail_t:
+            upd = (i < tlen) & (lastq > bT_score)
+            bT_score = jnp.where(upd, lastq, bT_score)
+            bT_pos = jnp.where(upd, i, bT_pos)
+        Hsnap = jnp.where(i == t_last8, h, Hsnap)
+        return (h, E_used, bT_score, bT_pos, Hsnap)
+
+    init = (
+        H0, E0,
+        jnp.full((1, LANES), MINUS_INF, jnp.int32),
+        tlen,
+        jnp.zeros((Lq, LANES), jnp.int32),
+    )
+    H, E, bT_score, bT_pos, Hsnap = jax.lax.fori_loop(0, Lt, step, init)
+
+    score = jnp.full((1, LANES), MINUS_INF, jnp.int32)
+    qend = tlen          # maxXY_x init = ref_len (reference quirk)
+    tend = qlen          # maxXY_y init = read_len
+    if tail_t:
+        score = bT_score
+        tend = jnp.where(bT_score > MINUS_INF, bT_pos, tend)
+    if tail_q:
+        Hrow = jnp.where(rows < qlen, Hsnap, jnp.int32(NEG_BIG))
+        better = Hrow > score
+        any_better = jnp.max(jnp.where(better, 1, 0), axis=0, keepdims=True) > 0
+        cand = jnp.where(better, Hrow, jnp.int32(NEG_BIG))
+        new_score = jnp.max(cand, axis=0, keepdims=True)
+        m_best = jnp.min(
+            jnp.where(cand == new_score, rows, jnp.int32(1 << 28)), axis=0,
+            keepdims=True,
+        )
+        qend = jnp.where(any_better, m_best, qend)
+        score = jnp.where(any_better, new_score, score)
+        tend = jnp.where(qend != tlen, qlen, tend)
+    out_score[...] = score
+    out_qend[...] = qend
+    out_tend[...] = tend
+
+
+@functools.partial(jax.jit, static_argnames=("params", "head", "tail"))
+def semiglobal_align_tpu(
+    q: jnp.ndarray,
+    t: jnp.ndarray,
+    qlen: jnp.ndarray,
+    tlen: jnp.ndarray,
+    params: AlignmentParams,
+    head=None,
+    tail=None,
+) -> AlignResult:
+    """Batched GASAL2-semiglobal on TPU via Pallas."""
+    from genomics_tpu.core.scoring import SemiGlobalSkip
+
+    head = head or SemiGlobalSkip.NONE
+    tail = tail or SemiGlobalSkip.NONE
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    assert B % LANES == 0 and Lq % 8 == 0
+    qT = q.T.astype(jnp.int32)
+    tT = t.T.astype(jnp.int32)
+    qlenT = jnp.asarray(qlen, jnp.int32)[None, :]
+    tlenT = jnp.asarray(tlen, jnp.int32)[None, :]
+    ntiles = B // LANES
+    kernel = functools.partial(
+        _semiglobal_kernel,
+        params=params,
+        Lq=Lq,
+        Lt=Lt,
+        head_q=head in (SemiGlobalSkip.QUERY, SemiGlobalSkip.BOTH),
+        head_t=head in (SemiGlobalSkip.TARGET, SemiGlobalSkip.BOTH),
+        tail_q=tail in (SemiGlobalSkip.QUERY, SemiGlobalSkip.BOTH),
+        tail_t=tail in (SemiGlobalSkip.TARGET, SemiGlobalSkip.BOTH),
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((Lq, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, B), jnp.int32)] * 3,
+        out_specs=[
+            pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+        ] * 3,
+        interpret=_interpret(),
+    )(qT, tT, qlenT, tlenT)
+    return AlignResult(res[0][0], res[1][0], res[2][0], None)

@@ -51,3 +51,72 @@ def test_local_kernel_multi_tile():
     ref = scan_align.local_align_batch(q, t, P)
     np.testing.assert_array_equal(np.asarray(res.score), np.asarray(ref.score))
     np.testing.assert_array_equal(np.asarray(res.query_end), np.asarray(ref.query_end))
+
+
+def test_global_kernel_matches_scan():
+    rng = np.random.default_rng(3)
+    pb = make_batch(rng)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ql, tl = jnp.asarray(pb.query.lengths), jnp.asarray(pb.target.lengths)
+    res = pallas_align.global_align_tpu(q, t, ql, tl, P)
+    ref = scan_align.global_align_batch(q, t, ql, tl, P)
+    np.testing.assert_array_equal(np.asarray(res.score), np.asarray(ref.score))
+
+
+def test_global_kernel_tb_matches_scan():
+    rng = np.random.default_rng(4)
+    pb = make_batch(rng)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ql, tl = jnp.asarray(pb.query.lengths), jnp.asarray(pb.target.lengths)
+    res = pallas_align.global_align_tpu(q, t, ql, tl, P, with_tb=True)
+    ref = scan_align.global_align_batch(q, t, ql, tl, P, with_tb=True)
+    tbn = pallas_align.unpack_tb_nibbles(np.asarray(res.tb))
+    np.testing.assert_array_equal(tbn, np.asarray(ref.tb))
+
+
+def test_semiglobal_kernel_matches_scan():
+    from genomics_tpu.core.scoring import SemiGlobalSkip
+
+    rng = np.random.default_rng(5)
+    pb = make_batch(rng)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ql, tl = jnp.asarray(pb.query.lengths), jnp.asarray(pb.target.lengths)
+    for head, tail in [
+        (SemiGlobalSkip.TARGET, SemiGlobalSkip.TARGET),
+        (SemiGlobalSkip.QUERY, SemiGlobalSkip.QUERY),
+        (SemiGlobalSkip.BOTH, SemiGlobalSkip.BOTH),
+        (SemiGlobalSkip.NONE, SemiGlobalSkip.TARGET),
+    ]:
+        res = pallas_align.semiglobal_align_tpu(q, t, ql, tl, P, head=head, tail=tail)
+        ref = scan_align.semiglobal_align_batch(q, t, ql, tl, P, head=head, tail=tail)
+        np.testing.assert_array_equal(
+            np.asarray(res.score), np.asarray(ref.score), err_msg=f"{head} {tail}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.query_end), np.asarray(ref.query_end), err_msg=f"{head} {tail}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.target_end), np.asarray(ref.target_end), err_msg=f"{head} {tail}"
+        )
+
+
+def test_pairhmm_kernel_matches_scan():
+    from genomics_tpu.ops import pallas_pairhmm, scan_pairhmm
+
+    rng = np.random.default_rng(7)
+    recs = []
+    for _ in range(12):
+        R = int(rng.integers(2, 40))
+        C = int(rng.integers(2, 50))
+        recs.append(
+            dict(
+                read="".join(rng.choice(list("ACGT"), R)),
+                hap="".join(rng.choice(list("ACGT"), C)),
+                base_quals=rng.integers(5, 60, R),
+                ins_quals=rng.integers(5, 60, R),
+                del_quals=rng.integers(5, 60, R),
+            )
+        )
+    got = pallas_pairhmm.pairhmm_forward_tpu_dataset(recs, pad_r=48, pad_c=56)
+    ref = scan_pairhmm.pairhmm_forward_dataset(recs, pad_r=48, pad_c=56)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
