@@ -1,0 +1,221 @@
+"""Bucketed batched dispatch — the JAX-native replacement for both the
+reference's CDP device-side work spawning and GASAL2's stream pipeline.
+
+Where GASAL2 fills pinned host pages, grows device buffers, and enqueues
+pack/align/traceback kernels on a cudaStream (gasal_aln_async,
+CDP/GASAL2/src/gasal_align.cu:55-333), this engine:
+
+1. buckets jobs by (query_len, target_len) into static padded shapes
+   (bucket edges are powers-of-two-ish multiples of 8 — the jit-static
+   generalization of the compile-time MAX_QUERY_LEN macro),
+2. pads each bucket to [B128, Lq, Lt] device arrays and dispatches the
+   Pallas kernel (jit caches per bucket shape — the "2x growth loop"
+   becomes a compile cache),
+3. relies on JAX async dispatch for compute/transfer overlap (the
+   cudaStreamQuery/is_free double-buffering analog), and
+4. decodes tracebacks to byte-CIGARs on the host via the native C++
+   decoder (runtime/native.py).
+
+Results come back in submission order regardless of bucketing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from genomics_tpu.core import golds
+from genomics_tpu.core.encoding import N4, encode4
+from genomics_tpu.core.scoring import AlignmentParams, AlgoType, SemiGlobalSkip
+from genomics_tpu.ops import pallas_align, scan_align
+from genomics_tpu.runtime import native
+
+LANES = 128
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def default_buckets(max_len: int = 4096):
+    """Bucket edges for sequence lengths: multiples of 8 up to 64, then
+    ~1.5x geometric growth (keeps pad waste < ~33%)."""
+    edges = [8, 16, 24, 32, 48, 64]
+    v = 64
+    while v < max_len:
+        v = _round_up(int(v * 1.5), 8)
+        edges.append(v)
+    return edges
+
+
+def _bucket_of(n: int, edges) -> int:
+    for e in edges:
+        if n <= e:
+            return e
+    return _round_up(n, 8)
+
+
+@dataclasses.dataclass
+class AlignmentJob:
+    """One alignment result (order matches submission)."""
+
+    score: int
+    query_end: int = 0
+    target_end: int = 0
+    query_start: int = 0
+    target_start: int = 0
+    cigar: np.ndarray | None = None   # byte-CIGAR (walk order)
+
+    @property
+    def cigar_string(self) -> str:
+        if self.cigar is None:
+            return ""
+        return golds.cigar_to_string(self.cigar)
+
+
+class AlignEngine:
+    """Batched alignment engine over one of the five DP algorithms.
+
+    >>> eng = AlignEngine(AlignmentParams(algo=AlgoType.LOCAL), with_tb=True)
+    >>> results = eng.align(queries, targets)     # lists of str/bytes
+    """
+
+    def __init__(
+        self,
+        params: AlignmentParams,
+        with_tb: bool = False,
+        head: SemiGlobalSkip = SemiGlobalSkip.NONE,
+        tail: SemiGlobalSkip = SemiGlobalSkip.NONE,
+        band_width_tiles: int = 4,
+        buckets: Sequence[int] | None = None,
+        use_pallas: bool | None = None,
+    ):
+        self.params = params
+        self.with_tb = with_tb or params.with_traceback
+        self.head = head
+        self.tail = tail
+        self.band_width_tiles = band_width_tiles
+        self.buckets = list(buckets) if buckets else default_buckets()
+        # auto: compiled Pallas on TPU, scan engines elsewhere (interpret
+        # mode is only for parity tests — too slow for real dispatch)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+    # -- device dispatch per bucket -------------------------------------
+
+    def _run_bucket(self, q, t, qlen, tlen, h0):
+        p = self.params
+        algo = p.algo
+        qd, td = jnp.asarray(q), jnp.asarray(t)
+        ql, tl = jnp.asarray(qlen), jnp.asarray(tlen)
+        if algo == AlgoType.LOCAL:
+            if self.use_pallas:
+                return pallas_align.local_align_tpu(qd, td, p, with_tb=self.with_tb)
+            return scan_align.local_align_batch(qd, td, p, with_tb=self.with_tb)
+        if algo == AlgoType.GLOBAL:
+            if self.use_pallas:
+                return pallas_align.global_align_tpu(
+                    qd, td, ql, tl, p, with_tb=self.with_tb
+                )
+            return scan_align.global_align_batch(
+                qd, td, ql, tl, p, with_tb=self.with_tb
+            )
+        if algo == AlgoType.SEMI_GLOBAL:
+            if self.use_pallas:
+                return pallas_align.semiglobal_align_tpu(
+                    qd, td, ql, tl, p, head=self.head, tail=self.tail
+                )
+            return scan_align.semiglobal_align_batch(
+                qd, td, ql, tl, p, head=self.head, tail=self.tail
+            )
+        if algo == AlgoType.KSW:
+            return scan_align.ksw_align_batch(
+                qd, td, ql, tl, jnp.asarray(h0), p
+            )
+        if algo == AlgoType.BANDED:
+            return scan_align.banded_align_batch(
+                qd, td, ql, tl, p, band_width_tiles=self.band_width_tiles
+            )
+        raise ValueError(f"unsupported algo {algo}")
+
+    # -- public API ------------------------------------------------------
+
+    def align(
+        self,
+        queries: Sequence,
+        targets: Sequence,
+        h0: Sequence[int] | None = None,
+    ) -> list[AlignmentJob]:
+        """Align pairs; returns results in submission order."""
+        assert len(queries) == len(targets)
+        n = len(queries)
+        enc_q = [encode4(s) if isinstance(s, (str, bytes)) else np.asarray(s, np.uint8)
+                 for s in queries]
+        enc_t = [encode4(s) if isinstance(s, (str, bytes)) else np.asarray(s, np.uint8)
+                 for s in targets]
+        h0 = np.asarray(h0 if h0 is not None else np.zeros(n), np.int32)
+
+        # bucket by padded (qlen, tlen)
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (eq, et) in enumerate(zip(enc_q, enc_t)):
+            key = (_bucket_of(len(eq), self.buckets), _bucket_of(len(et), self.buckets))
+            groups.setdefault(key, []).append(i)
+
+        # dispatch all buckets (async), then collect
+        pending = []
+        for (lq, lt), idxs in groups.items():
+            B = _round_up(len(idxs), LANES if self.use_pallas else 8)
+            qb = np.full((B, lq), N4, np.uint8)
+            tb = np.full((B, lt), N4, np.uint8)
+            qlen = np.ones(B, np.int32)
+            tlen = np.ones(B, np.int32)
+            hb = np.zeros(B, np.int32)
+            for k, i in enumerate(idxs):
+                qb[k, : len(enc_q[i])] = enc_q[i]
+                tb[k, : len(enc_t[i])] = enc_t[i]
+                qlen[k] = len(enc_q[i])
+                tlen[k] = len(enc_t[i])
+                hb[k] = h0[i]
+            res = self._run_bucket(qb, tb, qlen, tlen, hb)
+            pending.append(((lq, lt), idxs, qlen, tlen, res))
+
+        out: list[AlignmentJob | None] = [None] * n
+        for (lq, lt), idxs, qlen, tlen, res in pending:
+            score = np.asarray(res.score)
+            qend = np.asarray(res.query_end)
+            tend = np.asarray(res.target_end)
+            cigars = n_ops = qstart = tstart = None
+            if self.with_tb and res.tb is not None:
+                packed = np.asarray(res.tb)
+                if packed.ndim == 3 and packed.shape[-1] == lq:
+                    # scan engine emits unpacked [B, Lt, Lq] nibbles; pack
+                    packed = _pack_nibbles_np(packed)
+                algo = "local" if self.params.algo == AlgoType.LOCAL else "global"
+                cigars, n_ops, qstart, tstart = native.decode_tb_batch(
+                    packed, qlen, tlen, algo, self.params,
+                    score=score, qend=qend, tend=tend,
+                )
+            for k, i in enumerate(idxs):
+                job = AlignmentJob(
+                    score=int(score[k]),
+                    query_end=int(qend[k]),
+                    target_end=int(tend[k]),
+                )
+                if cigars is not None:
+                    job.cigar = cigars[k, : n_ops[k]].copy()
+                    job.query_start = int(qstart[k])
+                    job.target_start = int(tstart[k])
+                out[i] = job
+        return out  # type: ignore[return-value]
+
+
+def _pack_nibbles_np(nibs: np.ndarray) -> np.ndarray:
+    """[B, Lt, Lq] uint8 nibbles → [B, Lt, Lq//8] int32 packed."""
+    B, Lt, Lq = nibs.shape
+    r = nibs.reshape(B, Lt, Lq // 8, 8).astype(np.int64)
+    shifts = 4 * np.arange(8, dtype=np.int64)
+    return (r << shifts).sum(axis=-1).astype(np.int32)

@@ -1,0 +1,133 @@
+"""ctypes loader for the native runtime library (native/cigar.cpp).
+
+Builds lazily via make on first use (g++ is baked into the image;
+pybind11 is not, hence plain C ABI + ctypes).  Falls back to the pure
+Python decoder (golds.decode_tb) if the build fails."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libgenomics_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO_PATH) or (
+                os.path.getmtime(_SO_PATH)
+                < os.path.getmtime(os.path.join(_NATIVE_DIR, "cigar.cpp"))
+            ):
+                subprocess.run(
+                    ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+                    capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(_SO_PATH)
+            lib.gt_decode_tb_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),  # packed
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # B, Lt, Lq8
+                ctypes.POINTER(ctypes.c_int32),  # qlen
+                ctypes.POINTER(ctypes.c_int32),  # tlen
+                ctypes.POINTER(ctypes.c_int32),  # score
+                ctypes.POINTER(ctypes.c_int32),  # qend
+                ctypes.POINTER(ctypes.c_int32),  # tend
+                ctypes.c_int,                    # algo
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),  # cigars
+                ctypes.c_int,                    # max_ops
+                ctypes.POINTER(ctypes.c_int32),  # n_ops
+                ctypes.POINTER(ctypes.c_int32),  # qstart
+                ctypes.POINTER(ctypes.c_int32),  # tstart
+            ]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def decode_tb_batch(
+    packed: np.ndarray,   # [B, Lt, Lq8] int32 packed nibbles
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    algo: str,
+    params,
+    score: np.ndarray | None = None,
+    qend: np.ndarray | None = None,
+    tend: np.ndarray | None = None,
+    max_ops: int | None = None,
+):
+    """Batched CIGAR decode.  Returns (cigars [B, max_ops] u8, n_ops,
+    qstart, tstart).  Uses the C++ decoder when available, else the
+    Python gold (bit-identical)."""
+    packed = np.ascontiguousarray(packed, np.int32)
+    B, Lt, Lq8 = packed.shape
+    Lq = Lq8 * 8
+    max_ops = max_ops or (Lq + Lt + 8)
+    qlen = np.ascontiguousarray(qlen, np.int32)
+    tlen = np.ascontiguousarray(tlen, np.int32)
+    a = 0 if algo == "local" else 1
+    score = np.ascontiguousarray(
+        score if score is not None else np.zeros(B), np.int32
+    )
+    qend = np.ascontiguousarray(qend if qend is not None else np.zeros(B), np.int32)
+    tend = np.ascontiguousarray(tend if tend is not None else np.zeros(B), np.int32)
+
+    lib = _load()
+    if lib is not None:
+        cigars = np.zeros((B, max_ops), np.uint8)
+        n_ops = np.zeros(B, np.int32)
+        qstart = np.zeros(B, np.int32)
+        tstart = np.zeros(B, np.int32)
+        lib.gt_decode_tb_batch(
+            _ptr(packed, ctypes.c_int32), B, Lt, Lq8,
+            _ptr(qlen, ctypes.c_int32), _ptr(tlen, ctypes.c_int32),
+            _ptr(score, ctypes.c_int32), _ptr(qend, ctypes.c_int32),
+            _ptr(tend, ctypes.c_int32), a,
+            int(params.match), int(params.mismatch),
+            int(params.gap_oe), int(params.gap_extend),
+            _ptr(cigars, ctypes.c_uint8), max_ops,
+            _ptr(n_ops, ctypes.c_int32),
+            _ptr(qstart, ctypes.c_int32), _ptr(tstart, ctypes.c_int32),
+        )
+        return cigars, n_ops, qstart, tstart
+
+    # Python fallback via the gold decoder
+    from genomics_tpu.core import golds
+    from genomics_tpu.ops.pallas_align import unpack_tb_nibbles
+
+    nibs = unpack_tb_nibbles(packed)  # [B, Lt, Lq]
+    cigars = np.zeros((B, max_ops), np.uint8)
+    n_ops = np.zeros(B, np.int32)
+    qstart = np.zeros(B, np.int32)
+    tstart = np.zeros(B, np.int32)
+    for b in range(B):
+        d = golds.decode_tb(
+            nibs[b], int(qlen[b]), int(tlen[b]), algo, params,
+            int(score[b]), int(qend[b]), int(tend[b]),
+        )
+        k = min(len(d["cigar"]), max_ops)
+        cigars[b, :k] = d["cigar"][:k]
+        n_ops[b] = d["n_ops"]
+        qstart[b] = d["query_start"]
+        tstart[b] = d["target_start"]
+    return cigars, n_ops, qstart, tstart

@@ -1,0 +1,137 @@
+// Native traceback → byte-CIGAR decoder for genomics_tpu.
+//
+// Replicates the gasal_get_tb state machine (reference:
+// CDP/GASAL2/src/kernels/get_tb.h:5-149) over the framework's packed
+// nibble matrices: [Lt, Lq/8] int32 per alignment, cell (i, j) in bits
+// 4*(j%8)..4*(j%8)+3 of packed[i*Lq8 + j/8].  Nibble: bit3 = f_ext,
+// bit2 = e_ext, bits1:0 = dir (0=M 1=X 2=D 3=I).
+//
+// The walk is inherently serial per alignment (data-dependent), which
+// is why it lives on the host in C++ (OpenMP across alignments) instead
+// of on the TPU — the same split GASAL2 uses (device writes direction
+// matrices, a separate pass walks them).
+//
+// Byte-CIGAR format (reference README.md:214-224): op | count << 2,
+// emitted in walk (reverse-alignment) order, count <= 63.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Decode one alignment's traceback.  Returns number of ops written.
+// algo: 0 = local (score-stop; writes q/t starts), 1 = global (D/I pad).
+static int decode_one(const int32_t* packed, int Lt, int Lq8,
+                      int qlen, int tlen, int algo,
+                      int score, int qend, int tend,
+                      int match, int mismatch, int gap_oe, int gap_extend,
+                      uint8_t* out, int max_ops,
+                      int32_t* qstart, int32_t* tstart) {
+    int i, j;
+    int total_score = 0, curr_score = 0;
+    if (algo == 0) {
+        i = tend;
+        j = qend;
+        total_score = score;
+    } else {
+        i = tlen;
+        j = qlen;
+    }
+    int Lq = Lq8 * 8;
+    uint32_t prev_op = 0;
+    int count = 0;
+    int op_select = 3, op_shift = 0;
+    int n = 0;
+
+    while (i >= 0 && j >= 0) {
+        uint32_t cell_op = 0;
+        if (i < Lt && j < Lq) {
+            uint32_t word = (uint32_t)packed[(size_t)i * Lq8 + (j >> 3)];
+            cell_op = (word >> (4 * (j & 7))) & 0xF;
+        }
+        uint32_t op = (cell_op >> op_shift) & (uint32_t)op_select;
+        uint32_t op_to_fill = (op == 0 || op_select == 3) ? op : (uint32_t)op_shift;
+        int new_select = (op == 0 || (op == 1 && op_select == 3)) ? 3 : 1;
+        if (op == 0 || (op == 1 && op_select == 3)) {
+            op_shift = 0;
+        } else if ((op == 2 || op == 3) && op_select == 3) {
+            op_shift = (int)op;
+        }
+        op_select = new_select;
+
+        if (count < 63 && op_to_fill == prev_op) {
+            count++;
+        } else {
+            if (count > 0) {
+                if (n < max_ops) out[n] = (uint8_t)(prev_op | (count << 2));
+                n++;
+            }
+            count = 1;
+        }
+        if (algo == 0) {
+            if ((op_to_fill == 2 || op_to_fill == 3) && prev_op != op_to_fill)
+                curr_score -= gap_oe;
+            else if (op_to_fill == 2 || op_to_fill == 3)
+                curr_score -= gap_extend;
+            else if (op_to_fill == 1)
+                curr_score -= mismatch;
+            else
+                curr_score += match;
+            if (curr_score == total_score) {
+                prev_op = op_to_fill;
+                break;
+            }
+        }
+        prev_op = op_to_fill;
+        if (op_to_fill == 0 || op_to_fill == 1 || op_to_fill == 2) i--;
+        if (op_to_fill == 0 || op_to_fill == 1 || op_to_fill == 3) j--;
+    }
+    if (n < max_ops) out[n] = (uint8_t)(prev_op | (count << 2));
+    n++;
+    if (algo == 1) {
+        while (i >= 0) {
+            int c = (i + 1) <= 63 ? (i + 1) : 63;
+            if (n < max_ops) out[n] = (uint8_t)(2 | (c << 2));
+            n++;
+            i -= 63;
+        }
+        while (j >= 0) {
+            int c = (j + 1) <= 63 ? (j + 1) : 63;
+            if (n < max_ops) out[n] = (uint8_t)(3 | (c << 2));
+            n++;
+            j -= 63;
+        }
+    }
+    if (algo == 0) {
+        *qstart = j;
+        *tstart = i;
+    } else {
+        *qstart = 0;
+        *tstart = 0;
+    }
+    return n;
+}
+
+// Batched decode.  packed: [B, Lt, Lq8] int32; cigars: [B, max_ops] u8.
+void gt_decode_tb_batch(const int32_t* packed, int B, int Lt, int Lq8,
+                        const int32_t* qlen, const int32_t* tlen,
+                        const int32_t* score, const int32_t* qend,
+                        const int32_t* tend, int algo,
+                        int match, int mismatch, int gap_oe, int gap_extend,
+                        uint8_t* cigars, int max_ops, int32_t* n_ops,
+                        int32_t* qstart, int32_t* tstart) {
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int b = 0; b < B; b++) {
+        n_ops[b] = decode_one(
+            packed + (size_t)b * Lt * Lq8, Lt, Lq8, qlen[b], tlen[b], algo,
+            score[b], qend[b], tend[b], match, mismatch, gap_oe, gap_extend,
+            cigars + (size_t)b * max_ops, max_ops, &qstart[b], &tstart[b]);
+    }
+}
+
+// 4-bit encode: ASCII → code (c & 0xF), vectorized helper for host prep.
+void gt_encode4(const uint8_t* ascii, int64_t n, uint8_t* out) {
+    for (int64_t k = 0; k < n; k++) out[k] = ascii[k] & 0xF;
+}
+
+}  // extern "C"

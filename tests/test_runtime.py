@@ -1,0 +1,114 @@
+"""Runtime layer tests: bucketed dispatch end-to-end vs golds, native
+CIGAR decoder parity vs the Python gold decoder."""
+import numpy as np
+import pytest
+
+from genomics_tpu.core import golds
+from genomics_tpu.core.scoring import AlignmentParams, AlgoType, SemiGlobalSkip
+from genomics_tpu.runtime import native
+from genomics_tpu.runtime.dispatch import AlignEngine
+
+P = AlignmentParams()
+
+
+def rand_pairs(rng, n, lo=5, hi=120):
+    qs = ["".join(rng.choice(list("ACGT"), rng.integers(lo, hi))) for _ in range(n)]
+    ts = ["".join(rng.choice(list("ACGT"), rng.integers(lo, hi))) for _ in range(n)]
+    return qs, ts
+
+
+def test_engine_local_mixed_lengths():
+    rng = np.random.default_rng(0)
+    qs, ts = rand_pairs(rng, 40)
+    eng = AlignEngine(P, use_pallas=True)
+    res = eng.align(qs, ts)
+    for i in range(0, 40, 7):
+        g = golds.local_align(qs[i], ts[i], P)
+        assert res[i].score == g["score"]
+        assert res[i].query_end == g["query_end"]
+        assert res[i].target_end == g["target_end"]
+
+
+def test_engine_local_with_cigar():
+    rng = np.random.default_rng(1)
+    qs, ts = rand_pairs(rng, 24, lo=10, hi=60)
+    eng = AlignEngine(P, with_tb=True)
+    res = eng.align(qs, ts)
+    for i in range(0, 24, 5):
+        g = golds.local_align(qs[i], ts[i], P, with_tb=True)
+        if g["score"] == 0:
+            continue
+        d = golds.decode_tb(
+            g["tb_dirs"], len(qs[i]), len(ts[i]), "local", P,
+            g["score"], g["query_end"], g["target_end"],
+        )
+        np.testing.assert_array_equal(res[i].cigar, d["cigar"])
+        assert res[i].query_start == d["query_start"]
+        assert res[i].target_start == d["target_start"]
+
+
+def test_engine_global():
+    rng = np.random.default_rng(2)
+    qs, ts = rand_pairs(rng, 20)
+    eng = AlignEngine(AlignmentParams(algo=AlgoType.GLOBAL))
+    res = eng.align(qs, ts)
+    for i in range(0, 20, 3):
+        g = golds.global_align(qs[i], ts[i], P)
+        assert res[i].score == g["score"]
+
+
+def test_engine_ksw_and_banded():
+    rng = np.random.default_rng(3)
+    qs, ts = rand_pairs(rng, 12)
+    h0 = rng.integers(10, 30, 12)
+    eng = AlignEngine(AlignmentParams(algo=AlgoType.KSW))
+    res = eng.align(qs, ts, h0=h0)
+    for i in range(0, 12, 3):
+        g = golds.ksw_align(qs[i], ts[i], P, h0=int(h0[i]))
+        assert res[i].score == g["score"]
+
+    engb = AlignEngine(AlignmentParams(algo=AlgoType.BANDED), band_width_tiles=2)
+    resb = engb.align(qs, ts)
+    for i in range(0, 12, 3):
+        g = golds.banded_align(qs[i], ts[i], P, band_width_tiles=2)
+        assert resb[i].score == g["score"]
+
+
+def test_engine_semiglobal():
+    rng = np.random.default_rng(4)
+    qs, ts = rand_pairs(rng, 12)
+    eng = AlignEngine(
+        AlignmentParams(algo=AlgoType.SEMI_GLOBAL),
+        head=SemiGlobalSkip.TARGET,
+        tail=SemiGlobalSkip.TARGET,
+    )
+    res = eng.align(qs, ts)
+    for i in range(0, 12, 3):
+        g = golds.semiglobal_align(
+            qs[i], ts[i], P, head=SemiGlobalSkip.TARGET, tail=SemiGlobalSkip.TARGET
+        )
+        assert res[i].score == g["score"]
+
+
+def test_native_decoder_available_and_parity():
+    """The C++ decoder must build and agree with the Python gold."""
+    assert native.available(), "native decoder failed to build"
+    rng = np.random.default_rng(5)
+    qs, ts = rand_pairs(rng, 16, lo=10, hi=80)
+    eng_native = AlignEngine(P, with_tb=True)
+    res = eng_native.align(qs, ts)
+    # force python fallback and compare
+    import genomics_tpu.runtime.native as nat
+
+    lib_save = nat._lib
+    try:
+        nat._lib = None
+        nat._tried = True
+        eng_py = AlignEngine(P, with_tb=True)
+        res_py = eng_py.align(qs, ts)
+    finally:
+        nat._lib = lib_save
+    for a, b in zip(res, res_py):
+        assert a.score == b.score
+        np.testing.assert_array_equal(a.cigar, b.cigar)
+        assert (a.query_start, a.target_start) == (b.query_start, b.target_start)
