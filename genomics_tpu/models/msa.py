@@ -1,0 +1,224 @@
+"""Center-star MSA (reference: CDP/STAR — CMSA2).
+
+Pipeline: k-mer occurrence center selection (center-star.cc:12-100) →
+pairwise NW of every sequence against the center (affine, 3-matrix,
+no x↔y switching, MATCH=0 / MISMATCH=-1 / GAP_START=0 / GAP_EXTEND=-1,
+MIN_SCORE boundaries — nw.cc:25-94) → run-length backtrack producing
+per-position gap counts `space` (gaps into the center) and
+`spaceForOther` (gaps into the sequence) (nw.cc:96-150) → space merge
+and aligned FASTA output (main.cu:90-140).
+
+TPU mapping: the reference runs one CUDA thread per pairwise DP with a
+CPU co-run split (SURVEY.md §2.5).  Here ALL pairwise DPs run in one
+batched device dispatch (rows scanned, x-chain as a prefix scan — the
+GAP_START<=0 decomposition), the M matrices stream back, and the
+(serial, tiny) backtracks run on the host exactly like the reference's
+own CPU gold path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomics_tpu.utils.fasta import read_fasta
+
+MATCH, MISMATCH = 0, -1
+GAP_START, GAP_EXTEND = 0, -1
+MIN_SCORE = -32700
+NEG = -(1 << 28)
+
+
+# ---------------------------------------------------------------------------
+# center selection (center-star.cc)
+# ---------------------------------------------------------------------------
+
+
+def _chars_to_index(chunk: str) -> int:
+    """charsToIndex (center-star.cc:12-33): 8 chars → 16-bit index;
+    -1 on any unrecognized char."""
+    bits = 0
+    for i, c in enumerate(chunk):
+        if c == "A":
+            pass
+        elif c == "C":
+            bits |= 1 << (i * 2 + 1)
+        elif c in "TU":
+            bits |= 1 << (i * 2)
+        elif c == "G":
+            bits |= (1 << (i * 2)) | (1 << (i * 2 + 1))
+        else:
+            return -1
+    return bits
+
+
+def find_center_sequence(seqs: list[str]) -> int:
+    vec = np.zeros(65536, np.int64)
+    for s in seqs:
+        seen = set()
+        for i in range(len(s) // 8):
+            idx = _chars_to_index(s[i * 8 : i * 8 + 8])
+            if idx >= 0 and idx not in seen:
+                vec[idx] += 1
+                seen.add(idx)
+    max_idx, max_count = 0, 0
+    for i, s in enumerate(seqs):
+        count = 0
+        for k in range(len(s) // 8):
+            idx = _chars_to_index(s[k * 8 : k * 8 + 8])
+            if idx >= 0:
+                count += int(vec[idx])
+        if count > max_count:
+            max_idx, max_count = i, count
+    return max_idx
+
+
+# ---------------------------------------------------------------------------
+# batched pairwise NW (nw.cc semantics) → M matrices
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def nw_matrices_batch(center: jnp.ndarray, seqs: jnp.ndarray) -> jnp.ndarray:
+    """center: [m] uint8 bytes; seqs: [B, n_pad] uint8 (0 = pad).
+    Returns M: [B, m+1, n_pad+1] int32 (nw.cc matrix), computed for the
+    padded width — callers slice to each sequence's own n+1."""
+    m = center.shape[0]
+    B, n = seqs.shape
+    jidx = jnp.arange(n + 1, dtype=jnp.int32)
+    GSE = GAP_START + GAP_EXTEND
+
+    row0 = jnp.where(jidx == 0, 0, MIN_SCORE)
+    row0 = jnp.broadcast_to(row0, (B, n + 1)).astype(jnp.int32)
+    y0 = jnp.full((B, n + 1), MIN_SCORE, jnp.int32)
+
+    def body(carry, ci):
+        Mprev, Yprev, i = carry
+        sub = jnp.where(seqs == ci, MATCH, MISMATCH).astype(jnp.int32)  # [B, n]
+        dia = Mprev[:, :-1] + sub                                        # j=1..n
+        y = jnp.maximum(GSE + Mprev[:, 1:], GAP_EXTEND + Yprev[:, 1:])
+        # x-chain: x[j] = max(GSE + M[i][j-1], GE + x[i][j-1]) with
+        # M[i][j-1] = max(dia, x, y)[j-1]; GSE <= GE lets the x-term of
+        # M absorb: x[j] = max(g[j-1], x[j-1] + GE), g = GSE + max(dia, y)
+        g = GSE + jnp.maximum(dia, y)                                    # [B, n]
+        # prefix scan with v[j] = x[j] - j*GE: v[j] = max(v[j-1], g[j-1]
+        # - j*GE), v[0] = x-boundary = MIN_SCORE (its decay is the
+        # constant MIN_SCORE floor in v-space).  Array slot ai holds
+        # cell j = ai+1, so v_arr = max(cummax(g - (ai+1)*GE), MIN_SCORE)
+        # contribution of G[cell c'] to v[cell j] (j > c') is
+        # G[c'] - (c'+1)*GE, so the cummax is exclusive (shifted)
+        c = g - (jidx[1:] + 1) * GAP_EXTEND
+        cm = jax.lax.cummax(c, axis=1)
+        v = jnp.maximum(
+            jnp.concatenate([jnp.full((B, 1), NEG, jnp.int32), cm[:, :-1]], axis=1),
+            MIN_SCORE,
+        )
+        x = v + jidx[1:] * GAP_EXTEND
+        Mrow = jnp.maximum(jnp.maximum(dia, x), y)
+        Mfull = jnp.concatenate(
+            [jnp.full((B, 1), MIN_SCORE, jnp.int32), Mrow], axis=1
+        )
+        Yfull = jnp.concatenate(
+            [jnp.full((B, 1), GAP_START + (i + 1) * GAP_EXTEND, jnp.int32), y],
+            axis=1,
+        )
+        return (Mfull, Yfull, i + 1), Mfull
+
+    (Mlast, Ylast, _), Ms = jax.lax.scan(body, (row0, y0, jnp.int32(0)), center)
+    return jnp.concatenate([row0[:, None, :], Ms.transpose(1, 0, 2)], axis=1)
+
+
+def backtrack(M: np.ndarray, center: str, seq: str):
+    """nw.cc:96-150: diag-preferred walk with k-run gap matching.
+    Returns (space [m+1], space_for_other [n+1]) gap counts."""
+    m, n = len(center), len(seq)
+    space = np.zeros(m + 1, np.int64)
+    so = np.zeros(n + 1, np.int64)
+    i, j = m, n
+    while i != 0 or j != 0:
+        s = MATCH if (i > 0 and j > 0 and center[i - 1] == seq[j - 1]) else MISMATCH
+        if i > 0 and j > 0 and s + M[i - 1][j - 1] == M[i][j]:
+            i -= 1
+            j -= 1
+        else:
+            k = 1
+            while True:
+                if i >= k and M[i][j] == M[i - k][j] + GAP_START + GAP_EXTEND * k:
+                    so[j] += k
+                    i -= k
+                    break
+                elif j >= k and M[i][j] == M[i][j - k] + GAP_START + GAP_EXTEND * k:
+                    space[i] += k
+                    j -= k
+                    break
+                else:
+                    k += 1
+    return space, so
+
+
+# ---------------------------------------------------------------------------
+# driver + output merge (main.cu)
+# ---------------------------------------------------------------------------
+
+
+def msa(seqs: list[str], center_idx: int | None = None):
+    """Center-star MSA.  Returns (aligned list[str] in input order,
+    center_idx)."""
+    if center_idx is None:
+        center_idx = find_center_sequence(seqs)
+    center = seqs[center_idx]
+    others = [s for k, s in enumerate(seqs) if k != center_idx]
+    m = len(center)
+    max_len = max(len(s) for s in seqs)
+
+    n_pad = max((len(s) for s in others), default=1)
+    arr = np.zeros((len(others), n_pad), np.uint8)
+    for k, s in enumerate(others):
+        arr[k, : len(s)] = np.frombuffer(s.encode(), np.uint8)
+    cenc = np.frombuffer(center.encode(), np.uint8)
+    Ms = np.asarray(nw_matrices_batch(jnp.asarray(cenc), jnp.asarray(arr)))
+
+    space = np.zeros((len(others), m + 1), np.int64)
+    so = np.zeros((len(others), max_len + 1), np.int64)
+    for k, s in enumerate(others):
+        sp, sk = backtrack(Ms[k, :, : len(s) + 1], center, s)
+        space[k] = sp
+        so[k, : len(s) + 1] = sk
+
+    # output merge (main.cu:90-140)
+    space_center = space.max(axis=0) if len(others) else np.zeros(m + 1, np.int64)
+    aligned_center = center
+    for pos in range(m, -1, -1):
+        if space_center[pos] > 0:
+            aligned_center = (
+                aligned_center[:pos] + "-" * int(space_center[pos]) + aligned_center[pos:]
+            )
+    out = []
+    for k, s in enumerate(others):
+        a = s
+        for pos in range(len(s), -1, -1):
+            if so[k, pos] > 0:
+                a = a[:pos] + "-" * int(so[k, pos]) + a[pos:]
+        shift = 0
+        for pos in range(m + 1):
+            num = int(space_center[pos] - space[k, pos])
+            if num > 0:
+                a = a[: pos + shift] + "-" * num + a[pos + shift :]
+            shift += int(space_center[pos])
+        out.append(a)
+    out.insert(center_idx, aligned_center)
+    return out, center_idx
+
+
+def run_file(input_path: str, output_path: str | None = None):
+    recs = read_fasta(input_path)
+    aligned, center_idx = msa([r.seq for r in recs])
+    if output_path:
+        with open(output_path, "w") as fh:
+            for r, a in zip(recs, aligned):
+                fh.write(f">{r.name}\n")
+                for i in range(0, len(a), 60):
+                    fh.write(a[i : i + 60] + "\n")
+    return aligned, center_idx

@@ -1,0 +1,65 @@
+"""Center-star MSA: batched NW matrices vs a literal nw.cc
+transcription, and exact output parity with the reference's bundled
+results.txt fixture."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from genomics_tpu.models import msa as M
+from genomics_tpu.utils.fasta import read_fasta
+
+
+def nw_gold(s1, s2):
+    m, n = len(s1), len(s2)
+    MIN = M.MIN_SCORE
+    mat = np.full((m + 1, n + 1), MIN, np.int64)
+    mat[0, 0] = 0
+    x = np.full((m + 1, n + 1), MIN, np.int64)
+    y = np.full((m + 1, n + 1), MIN, np.int64)
+    for j in range(n + 1):
+        x[0][j] = -j
+    for i in range(m + 1):
+        y[i][0] = -i
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            x[i][j] = max(-1 + mat[i][j - 1], -1 + x[i][j - 1])
+            y[i][j] = max(-1 + mat[i - 1][j], -1 + y[i - 1][j])
+            s = (0 if s1[i - 1] == s2[j - 1] else -1) + mat[i - 1][j - 1]
+            mat[i][j] = max(s, x[i][j], y[i][j])
+    return mat
+
+
+def test_nw_matrices_vs_literal():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        m = int(rng.integers(5, 50))
+        n = int(rng.integers(5, 50))
+        s1 = "".join(rng.choice(list("ACGT"), m))
+        s2 = "".join(rng.choice(list("ACGT"), n))
+        arr = np.frombuffer(s2.encode(), np.uint8)[None]
+        got = np.asarray(
+            M.nw_matrices_batch(
+                jnp.asarray(np.frombuffer(s1.encode(), np.uint8)), jnp.asarray(arr)
+            )
+        )[0]
+        np.testing.assert_array_equal(got, nw_gold(s1, s2))
+
+
+def test_msa_reference_fixture_exact():
+    path = "/root/reference/CDP/STAR/protein.txt"
+    want_path = "/root/reference/CDP/STAR/results.txt"
+    if not (os.path.exists(path) and os.path.exists(want_path)):
+        pytest.skip("reference fixture not mounted")
+    aligned, cidx = M.msa([r.seq for r in read_fasta(path)])
+    want = [r.seq for r in read_fasta(want_path)]
+    assert len(aligned) == len(want)
+    for k, (a, b) in enumerate(zip(aligned, want)):
+        assert a == b, f"row {k} differs"
+
+
+def test_center_selection_dna():
+    seqs = ["ACGTACGTACGTACGT", "ACGTACGTACGTACGT", "TTTTGGGGCCCCAAAA"]
+    # the two identical sequences share all chunks → one of them wins
+    assert M.find_center_sequence(seqs) in (0, 1)
