@@ -1,0 +1,106 @@
+"""PairHMM likelihood engine (reference: Non-CDP/PairHMM, CDP/PairHMM).
+
+The reference ships nine CUDA variants of the same forward algorithm
+(warp wavefront, improved warp, shared-memory tiles x2, inter-task
+tiles x5 — SURVEY.md §2.4) that differ only in parallel scheme.  On TPU
+they collapse into one batched engine: the Pallas anti-diagonal kernel
+(compiled, on TPU) or the scan engine (elsewhere), both preserving the
+reference's per-cell f32 op order (bit-exact vs __fmaf_rn on TPU).
+
+Dataset format and GCUPS metric match the reference driver
+(warp_based.cu:222-272, 447)."""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from genomics_tpu.core import golds
+
+
+@dataclasses.dataclass
+class PairHMMResult:
+    likelihoods: np.ndarray
+    gcups: float
+    cells: int
+    seconds: float
+
+
+def _pad_records(records, lane_multiple: int):
+    B = len(records)
+    Bp = ((B + lane_multiple - 1) // lane_multiple) * lane_multiple
+    R = max(len(r["read"]) for r in records)
+    C = max(len(r["hap"]) for r in records)
+    reads = np.zeros((Bp, R), np.uint8)
+    haps = np.zeros((Bp, C), np.uint8)
+    rlen = np.ones(Bp, np.int32)
+    clen = np.ones(Bp, np.int32)
+    bq = np.zeros((Bp, R), np.int32)
+    iq = np.zeros((Bp, R), np.int32)
+    dq = np.zeros((Bp, R), np.int32)
+    for i, r in enumerate(records):
+        rd = r["read"].encode() if isinstance(r["read"], str) else r["read"]
+        hp = r["hap"].encode() if isinstance(r["hap"], str) else r["hap"]
+        reads[i, : len(rd)] = np.frombuffer(rd, np.uint8)
+        haps[i, : len(hp)] = np.frombuffer(hp, np.uint8)
+        rlen[i], clen[i] = len(rd), len(hp)
+        bq[i, : len(rd)] = r["base_quals"]
+        iq[i, : len(rd)] = r["ins_quals"]
+        dq[i, : len(rd)] = r["del_quals"]
+    return reads, haps, rlen, clen, bq, iq, dq, B
+
+
+def compute_likelihoods(records, replicate_to: int | None = None) -> PairHMMResult:
+    """Forward likelihoods for (read, hap) records.
+
+    replicate_to: like the reference's fakesize batch replication
+    (warp_based.cu:276-293) — tile the records up to this batch size
+    for throughput measurement."""
+    if replicate_to and replicate_to > len(records):
+        reps = (replicate_to + len(records) - 1) // len(records)
+        records = (records * reps)[:replicate_to]
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from genomics_tpu.ops import pallas_pairhmm as eng
+
+        packed = _pad_records(records, 128)
+    else:
+        from genomics_tpu.ops import scan_pairhmm as eng
+
+        packed = _pad_records(records, 8)
+    reads, haps, rlen, clen, bq, iq, dq, B = packed
+
+    t0 = time.perf_counter()
+    if on_tpu:
+        out = eng.pairhmm_forward_tpu(reads, haps, rlen, clen, bq, iq, dq)
+    else:
+        out = eng.pairhmm_forward_batch(reads, haps, rlen, clen, bq, iq, dq)
+    out = np.asarray(out)[:B]
+    dt = time.perf_counter() - t0
+    cells = int((rlen[:B].astype(np.int64) * clen[:B]).sum())
+    return PairHMMResult(
+        likelihoods=out, gcups=cells / dt / 1e9, cells=cells, seconds=dt
+    )
+
+
+def run_dataset(path: str, fakesize: int | None = None) -> PairHMMResult:
+    """The reference driver flow: parse dataset, (optionally) replicate
+    to fakesize, compute, report GCUPS (warp_based.cu:196-447)."""
+    records = golds.read_pairhmm_dataset(path)
+    return compute_likelihoods(records, replicate_to=fakesize)
+
+
+def verify_against_gold(path: str, limit: int = 8):
+    """Parity check vs the CPU gold on a bundled dataset → max rel err."""
+    records = golds.read_pairhmm_dataset(path, limit=limit)
+    res = compute_likelihoods(records)
+    rels = []
+    for r, got in zip(records, res.likelihoods):
+        want = golds.pairhmm_forward(
+            r["read"], r["hap"], r["base_quals"], r["ins_quals"], r["del_quals"]
+        )
+        rels.append(abs(float(got) - float(want)) / max(float(want), 1e-30))
+    return max(rels), res

@@ -2,8 +2,8 @@
 
 test_prog encodes per-sequence ops in the header's first char
 (reference: CDP/GASAL2/test_prog/test_prog.cpp:79-111):
-  '>' forward natural, '<' reverse natural,
-  '/' reverse complement,  '+' forward complement.
+  '>' forward natural (0), '<' reverse natural (1),
+  '/' forward complement (2), '+' reverse complement (3).
 """
 from __future__ import annotations
 
