@@ -1,0 +1,245 @@
+"""nGIA — distributed greedy clustering over a device mesh
+(reference: CDP|Non-CDP /CLUSTER/cluster/ — the repo's MPI component).
+
+Reference flow (func.cu): reads round-robin sharded across ranks; per
+iteration each rank proposes its smallest unclustered GLOBAL id →
+MPI_Gather → host min → MPI_Bcast of the id → MPI_Bcast of the full
+Represent struct (length + 256-bin 4-mer histogram + packed read) from
+the owner rank; then per-rank word filter + banded bit-parallel DP.
+Because generateIndex pre-sorts reads and round-robin assigns global id
+k to sorted position k, the winning representative each round is simply
+the globally-first unclustered read — identical to the single-node
+greedy order.
+
+TPU-native mapping (SURVEY.md §5): one `data`-sharded array set over a
+Mesh; representative selection is a global argmin (XLA inserts the
+collective — no explicit gather/bcast); the representative's row is a
+dynamic-slice (XLA materializes the broadcast); filter + banded LCS +
+accept run shard-local inside ONE jitted step.  The same code runs
+1-chip, 1-host or N-host (jax.distributed) unchanged.
+
+Reference quirks replicated:
+- kernel_makeWords' 4-mer seed has a C precedence bug
+  (`r0<<4+r1<<2+r2` ≡ `(r0 << (4+r1)) << (2+r2)`, func.cu:131) — kept;
+- the filter threshold uses min(netLengths) but `length*(1-sim)*4` with
+  the ORIGINAL formula (func.cu:335-338);
+- banded DP: shift = ceil(ceil(text - query*sim)/32) WORDS around the
+  word diagonal (func.cu:377-388); out-of-band words stay all-ones;
+- accept: matched >= ceil(min(qnet, tnet)*sim) (func.cu:465-468, note
+  >= vs the single-node CLUSTER's >).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomics_tpu.utils.fasta import read_fasta
+
+_BASE_MAP = np.full(256, 255, np.uint8)
+for _c, _v in [("A", 0), ("C", 1), ("G", 2), ("T", 3), ("U", 3)]:
+    _BASE_MAP[ord(_c)] = _v
+    _BASE_MAP[ord(_c.lower())] = _v
+
+
+def _prepare(seqs: list[str]):
+    N = len(seqs)
+    lengths = np.array([len(s) for s in seqs], np.int64)
+    order = np.argsort(-lengths, kind="stable")
+    seqs = [seqs[i] for i in order]
+    lengths = lengths[order]
+    nums = [
+        _BASE_MAP[np.frombuffer(s.encode(), np.uint8)] for s in seqs
+    ]
+    nums = [a[a != 255] for a in nums]          # de-gap (baseToNumber)
+    net = np.array([len(a) for a in nums], np.int64)
+    # 256-bin 4-mer histogram with the reference's seed quirk
+    words = np.zeros((N, 256), np.uint16)
+    for i, a in enumerate(nums):
+        if len(a) < 3:
+            continue
+        temp = ((int(a[0]) << (4 + int(a[1]))) << (2 + int(a[2]))) & 0xFF
+        h = np.zeros(256, np.int64)
+        for k in range(3, len(a)):
+            temp = ((temp << 2) + int(a[k])) & 0xFF
+            h[temp] += 1
+        words[i] = np.minimum(h, 0xFFFF)
+    # pack 2-bit planes, 32 bases/word, little-endian bit order
+    W32 = int(net.max()) // 32 + 1
+    low = np.zeros((N, W32), np.uint32)
+    high = np.zeros((N, W32), np.uint32)
+    codes = np.full((N, int(net.max())), 255, np.uint8)
+    sh = np.arange(32, dtype=np.uint32)
+    for i, a in enumerate(nums):
+        codes[i, : len(a)] = a
+        pad = np.zeros(W32 * 32, np.uint8)
+        pad[: len(a)] = a
+        pb = pad.reshape(W32, 32).astype(np.uint32)
+        low[i] = ((pb & 1) << sh).sum(1, dtype=np.uint64).astype(np.uint32)
+        high[i] = (((pb >> 1) & 1) << sh).sum(1, dtype=np.uint64).astype(np.uint32)
+    return order, lengths, net, words, low, high, codes
+
+
+def _round_step_factory(similarity: float, W: int, Lq: int):
+    sim = float(similarity)
+
+    @jax.jit
+    def round_step(cluster, rep, words, net, low, high, codes):
+        """One greedy round: filter + banded LCS vs representative `rep`
+        for every unclustered read; returns the updated cluster array."""
+        N = cluster.shape[0]
+        rep_words = words[rep]
+        rep_net = net[rep]
+        rep_low = low[rep]
+        rep_high = high[rep]
+
+        uncl = cluster == -1
+        # ---- word filter (kernel_filter, func.cu:321-344) ----
+        s = jnp.sum(
+            jnp.minimum(words, rep_words[None, :]).astype(jnp.int32), axis=1
+        )
+        mlen = jnp.minimum(net, rep_net)
+        thr = mlen - jnp.ceil(mlen.astype(jnp.float32) * (1.0 - sim)).astype(
+            jnp.int32
+        ) * 4
+        thr = jnp.maximum(thr, 1)
+        jobs = uncl & (s >= thr)
+
+        # ---- banded bit-parallel LCS (kernel_dynamic) ----
+        shift_f = jnp.ceil(
+            rep_net.astype(jnp.float32) - net.astype(jnp.float32) * sim
+        )
+        shift = jnp.ceil(shift_f / 32.0).astype(jnp.int32)       # [N] words
+        widx = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+        def base_step(row, k):
+            base = codes[:, k]
+            active = (base != 255) & (k < net)
+            iw = k // 32                                          # query word
+            band = (widx >= (iw - shift)[:, None]) & (
+                widx <= (iw + shift)[:, None]
+            )
+            ql = jnp.where((base & 1) > 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))[
+                :, None
+            ]
+            qh = jnp.where((base & 2) > 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))[
+                :, None
+            ]
+            match = (~(rep_low[None, :] ^ ql)) & (~(rep_high[None, :] ^ qh))
+            x = row & match
+            u = row & (~match)
+
+            def cond(st):
+                cin, prev = st
+                return jnp.any(cin != prev)
+
+            def body(st):
+                cin, _ = st
+                t5 = row + cin
+                c1 = (t5 < row).astype(jnp.uint32)
+                t5b = t5 + x
+                c2 = (t5b < x).astype(jnp.uint32)
+                cout = (c1 | c2) & band.astype(jnp.uint32)
+                cin_new = jnp.concatenate(
+                    [jnp.zeros((N, 1), jnp.uint32), cout[:, :-1]], axis=1
+                )
+                return jnp.maximum(cin_new, cin), cin
+
+            cin0 = jnp.zeros((N, W), jnp.uint32)
+            cin, _ = jax.lax.while_loop(
+                cond, body, (cin0, jnp.full((N, W), 1, jnp.uint32))
+            )
+            newrow = (row + cin + x) | u
+            upd = active[:, None] & band
+            return jnp.where(upd, newrow, row), None
+
+        row0 = jnp.full((N, W), 0xFFFFFFFF, jnp.uint32)
+        row, _ = jax.lax.scan(base_step, row0, jnp.arange(Lq, dtype=jnp.int32))
+        bits_in_word = jnp.clip(rep_net - jnp.arange(W, dtype=jnp.int32) * 32, 0, 32)
+        mask = jnp.where(
+            bits_in_word >= 32,
+            jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << bits_in_word.astype(jnp.uint32)) - 1,
+        )
+        matched = jnp.sum(
+            jax.lax.population_count((~row) & mask[None, :]), axis=1
+        ).astype(jnp.int32)
+        cutoff = jnp.ceil(
+            jnp.minimum(net, rep_net).astype(jnp.float32) * sim
+        ).astype(jnp.int32)
+        accept = jobs & (matched >= cutoff)
+        return jnp.where(accept, rep, cluster)
+
+    return round_step
+
+
+@dataclasses.dataclass
+class NgiaResult:
+    cluster: np.ndarray
+    order: np.ndarray
+    n_clusters: int
+
+
+def cluster_distributed(
+    seqs: list[str],
+    similarity: float = 0.95,
+    mesh=None,
+) -> NgiaResult:
+    """Distributed greedy clustering.  If `mesh` is given, the per-read
+    arrays are sharded over its `data` axis and XLA partitions every
+    round step (collectives over ICI/DCN); otherwise single-device."""
+    order, lengths, net, words, low, high, codes = _prepare(seqs)
+    N = len(seqs)
+    W = low.shape[1]
+    Lq = codes.shape[1]
+    arrays = [
+        jnp.asarray(words),
+        jnp.asarray(net, jnp.int32),
+        jnp.asarray(low),
+        jnp.asarray(high),
+        jnp.asarray(codes),
+    ]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("data"))
+        arrays = [jax.device_put(a, sh) for a in arrays]
+    words_d, net_d, low_d, high_d, codes_d = arrays
+    step = _round_step_factory(similarity, W, Lq)
+
+    cluster = jnp.full((N,), -1, jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cluster = jax.device_put(cluster, NamedSharding(mesh, P("data")))
+    while True:
+        c_host = np.asarray(cluster)
+        rem = np.nonzero(c_host == -1)[0]
+        if len(rem) == 0:
+            break
+        rep = int(rem[0])   # global min id == first unclustered (sorted)
+        cluster = step(
+            cluster, jnp.int32(rep), words_d, net_d, low_d, high_d, codes_d
+        )
+    c_host = np.asarray(cluster)
+    n = int((c_host == np.arange(N)).sum())
+    return NgiaResult(cluster=c_host, order=order, n_clusters=n)
+
+
+def run_file(
+    input_file: str,
+    output_file: str | None = None,
+    similarity: float = 0.95,
+    mesh=None,
+) -> NgiaResult:
+    recs = read_fasta(input_file)
+    res = cluster_distributed([r.seq for r in recs], similarity, mesh=mesh)
+    if output_file:
+        with open(output_file, "w") as fh:
+            for i in np.nonzero(res.cluster == np.arange(len(recs)))[0]:
+                orig = recs[res.order[i]]
+                fh.write(f">{orig.name}\n{orig.seq}\n")
+    return res
