@@ -226,6 +226,12 @@ def _lcs_batch(
     return jnp.sum(zeros, axis=1).astype(jnp.int32)
 
 
+# [S, ...] representatives against one query batch → [S, B] match counts
+_lcs_multi = jax.jit(
+    jax.vmap(_lcs_batch, in_axes=(0, 0, 0, None, None), out_axes=0)
+)
+
+
 @dataclasses.dataclass
 class ClusterResult:
     cluster: np.ndarray       # [N] rep index per read (sorted order)
@@ -242,8 +248,20 @@ def cluster_reads(
     word_length: int = 0,
     drop: int | None = None,
     batch_cap: int = 4096,
+    speculate: int = 1,
 ) -> ClusterResult:
-    """The full greedy clustering pipeline (func.cu:823-855 semantics)."""
+    """The full greedy clustering pipeline (func.cu:823-855 semantics).
+
+    speculate > 1 enables the CDP tree's speculative multi-representative
+    batching (CDP/CLUSTER/func.cu:722-820): S consecutive unclustered
+    candidates are treated as representatives in ONE device dispatch and
+    conflicts resolved serially-equivalently (each read takes its
+    smallest owner among candidates that themselves survived all smaller
+    valid owners) — the final clustering is identical to speculate=1."""
+    if speculate > 1:
+        return _cluster_reads_speculative(
+            seqs, threshold, word_length, batch_cap, speculate
+        )
     # NOTE: the reference parses drop/pigeon flags but its clustering loop
     # never consults them (func.cu: only checkOption touches them) —
     # the word filter always runs; we match that.
@@ -313,3 +331,82 @@ def run_file(
                 orig = recs[res.order[i]]
                 fh.write(f">{orig.name}\n{orig.seq}\n")
     return res
+
+
+def _accept_matrix(p: _Prepped, reps: np.ndarray, jobs: np.ndarray, wl: int,
+                   batch_cap: int) -> np.ndarray:
+    """[S, J] bool: does candidate rep s accept job j (filters + LCS)."""
+    S, J = len(reps), len(jobs)
+    acc = np.zeros((S, J), bool)
+    # prefix filter [S, J]
+    pre = np.minimum(p.prefix[reps][:, None, :], p.prefix[jobs][None, :, :]).sum(
+        axis=2
+    )
+    pass1 = pre >= p.base_cutoff[jobs][None, :]
+    # word filter
+    tables = np.zeros((S, 1 << (2 * wl)), np.uint32)
+    for si, r in enumerate(reps):
+        m = p.word_counts[r] > 0
+        tables[si, p.words[r][m]] = p.word_counts[r][m]
+    got = np.minimum(
+        tables[:, p.words[jobs]], p.word_counts[jobs][None, :, :]
+    ).sum(axis=2)
+    pass2 = pass1 & (got >= p.word_cutoff[jobs][None, :])
+    # LCS for surviving columns (any rep interested)
+    cols = np.nonzero(pass2.any(axis=0))[0]
+    for s0 in range(0, len(cols), batch_cap):
+        cb = cols[s0 : s0 + batch_cap]
+        jb = jobs[cb]
+        matched = np.asarray(
+            _lcs_multi(
+                jnp.asarray(p.low[reps]),
+                jnp.asarray(p.high[reps]),
+                jnp.asarray(p.net_lengths[reps], jnp.int32),
+                jnp.asarray(p.codes[jb]),
+                jnp.asarray(p.net_lengths[jb], np.int32),
+            )
+        )  # [S, len(cb)]
+        acc[:, cb] = pass2[:, cb] & (matched > p.base_cutoff[jb][None, :])
+    return acc
+
+
+def _cluster_reads_speculative(seqs, threshold, word_length, batch_cap, S):
+    wl = word_length or auto_word_length(threshold)
+    p = _prepare(seqs, threshold, wl)
+    N = len(seqs)
+    cluster = np.full(N, -1, np.int64)
+    pos = 0
+    while pos < N:
+        # S consecutive unclustered candidates from pos
+        cands = []
+        k = pos
+        while k < N and len(cands) < S:
+            if cluster[k] == -1:
+                cands.append(k)
+            k += 1
+        if not cands:
+            break
+        cands = np.array(cands)
+        jobs = np.nonzero(cluster == -1)[0]
+        jobs = jobs[jobs > cands[0]]
+        if len(jobs):
+            A = _accept_matrix(p, cands, jobs, wl, batch_cap)
+        else:
+            A = np.zeros((len(cands), 0), bool)
+        # serial-equivalent resolution: candidates in order; a candidate
+        # is a valid rep iff no earlier valid rep accepted it
+        owner = np.full(len(jobs), -1, np.int64)
+        job_index = {int(j): idx for idx, j in enumerate(jobs)}
+        for si, c in enumerate(cands):
+            if cluster[c] != -1:
+                continue  # claimed by an earlier valid candidate
+            cluster[c] = c
+            # claim only still-unclustered jobs (an earlier candidate in
+            # this window may have become a rep itself — never overwrite)
+            take = (owner == -1) & A[si] & (cluster[jobs] == -1)
+            owner[take] = c
+            for idx in np.nonzero(take)[0]:
+                cluster[jobs[idx]] = c
+        pos = int(cands[-1]) + 1
+    n = int((cluster == np.arange(N)).sum())
+    return ClusterResult(cluster=cluster, order=p.order, n_clusters=n)

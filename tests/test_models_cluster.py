@@ -86,3 +86,22 @@ def test_word_length_auto():
     assert C.auto_word_length(0.9) == 5
     assert C.auto_word_length(0.95) == 6
     assert C.auto_word_length(0.98) == 7
+
+
+def test_speculative_matches_serial():
+    """CDP-style speculative batching must produce the identical
+    clustering (serial-equivalent conflict resolution)."""
+    rng = np.random.default_rng(9)
+    seqs = []
+    for f in range(5):
+        base = "".join(rng.choice(list("ACGT"), 200))
+        for _ in range(5):
+            s = list(base)
+            for pos in rng.integers(0, 200, 8):
+                s[pos] = rng.choice(list("ACGT"))
+            seqs.append("".join(s))
+    # chains of similarity stress the conflict resolution
+    a = C.cluster_reads(seqs, threshold=0.9)
+    for S in (2, 4, 8):
+        b = C.cluster_reads(seqs, threshold=0.9, speculate=S)
+        np.testing.assert_array_equal(a.cluster, b.cluster, err_msg=f"S={S}")
