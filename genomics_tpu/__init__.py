@@ -23,7 +23,7 @@ Layer map (see SURVEY.md §7):
   utils/    fasta IO, timers, config
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from genomics_tpu.core.scoring import (  # noqa: F401
     AlignmentParams,
@@ -31,3 +31,5 @@ from genomics_tpu.core.scoring import (  # noqa: F401
     SemiGlobalSkip,
 )
 from genomics_tpu.core.batch import SeqBatch, PairBatch  # noqa: F401
+
+from genomics_tpu.runtime.dispatch import AlignEngine, AlignmentJob  # noqa: F401
