@@ -188,6 +188,26 @@ class AlignEngine:
             score = np.asarray(res.score)
             qend = np.asarray(res.query_end)
             tend = np.asarray(res.target_end)
+            starts = None
+            if (
+                self.params.compute_start
+                and not self.with_tb
+                and self.params.algo == AlgoType.LOCAL
+            ):
+                # GASAL2 WITH_START reverse pass (gold semantics; when
+                # with_tb is on, starts come from the CIGAR walk instead,
+                # exactly as in GASAL2)
+                from genomics_tpu.ops import scan_align_full
+
+                qb2 = np.full((len(qlen), lq), N4, np.uint8)
+                tb2 = np.full((len(tlen), lt), N4, np.uint8)
+                for k, i in enumerate(idxs):
+                    qb2[k, : len(enc_q[i])] = enc_q[i]
+                    tb2[k, : len(enc_t[i])] = enc_t[i]
+                _s, _qe, _te, qst, tst = scan_align_full.local_align_with_start(
+                    qb2, tb2, qlen[: len(qb2)], tlen[: len(tb2)], self.params
+                )
+                starts = (qst, tst)
             cigars = n_ops = qstart = tstart = None
             if self.with_tb and res.tb is not None:
                 packed = np.asarray(res.tb)
@@ -209,6 +229,9 @@ class AlignEngine:
                     job.cigar = cigars[k, : n_ops[k]].copy()
                     job.query_start = int(qstart[k])
                     job.target_start = int(tstart[k])
+                elif starts is not None:
+                    job.query_start = int(starts[0][k])
+                    job.target_start = int(starts[1][k])
                 out[i] = job
         return out  # type: ignore[return-value]
 

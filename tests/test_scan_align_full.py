@@ -1,0 +1,59 @@
+"""Second-best and WITH_START engines vs golds (exact GASAL2 semantics,
+quirks included)."""
+import numpy as np
+import jax.numpy as jnp
+
+from genomics_tpu.core import golds
+from genomics_tpu.core.batch import PairBatch
+from genomics_tpu.core.scoring import AlignmentParams
+from genomics_tpu.ops import scan_align_full as F
+
+P = AlignmentParams()
+
+
+def make(rng, n=16):
+    qs = ["".join(rng.choice(list("ACGT"), rng.integers(5, 60))) for _ in range(n)]
+    ts = ["".join(rng.choice(list("ACGT"), rng.integers(5, 60))) for _ in range(n)]
+    return qs, ts, PairBatch.from_strings(qs, ts, q_pad=64, t_pad=64)
+
+
+def test_second_best_parity():
+    rng = np.random.default_rng(3)
+    qs, ts, pb = make(rng)
+    out = F.local_align_second_batch(
+        jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes),
+        jnp.asarray(pb.query.lengths), jnp.asarray(pb.target.lengths), P,
+    )
+    best, qend, tend, b2, x2, t2 = [np.asarray(x) for x in out]
+    for i, (q, t) in enumerate(zip(qs, ts)):
+        g = golds.local_align(q, t, P, second_best=True)
+        assert best[i] == g["score"], i
+        assert (qend[i], tend[i]) == (g["query_end"], g["target_end"]), i
+        assert b2[i] == g["score_second"], i
+        assert x2[i] == g["query_end_second"], i
+        assert t2[i] == g["target_end_second"], i
+
+
+def test_with_start_parity():
+    rng = np.random.default_rng(4)
+    qs, ts, pb = make(rng)
+    score, qe, te, qs_, ts_ = F.local_align_with_start(
+        pb.query.codes, pb.target.codes, pb.query.lengths, pb.target.lengths, P
+    )
+    for i, (q, t) in enumerate(zip(qs, ts)):
+        g = golds.local_align(q, t, P, with_start=True)
+        assert score[i] == g["score"], i
+        if g["score"] == 0:
+            continue
+        assert qs_[i] == g["query_start"], i
+        assert ts_[i] == g["target_start"], i  # incl. the reference skew
+
+
+def test_with_start_embedded_known():
+    q = ["ACGTACGT"]
+    t = ["TTTTACGTACGTTTTT"]
+    pb = PairBatch.from_strings(q, t, q_pad=8, t_pad=16)
+    score, qe, te, qs_, ts_ = F.local_align_with_start(
+        pb.query.codes, pb.target.codes, pb.query.lengths, pb.target.lengths, P
+    )
+    assert score[0] == 8 and qs_[0] == 0 and ts_[0] == 10  # reference skew
