@@ -81,8 +81,12 @@ def find_center_sequence(seqs: list[str]) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=())
-def nw_matrices_batch(center: jnp.ndarray, seqs: jnp.ndarray) -> jnp.ndarray:
+def nw_matrices_batch(
+    center: jnp.ndarray, seqs: jnp.ndarray, sub_table: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """center: [m] uint8 bytes; seqs: [B, n_pad] uint8 (0 = pad).
+    sub_table: optional [256, 256] int32 char-indexed scores (protein
+    matrices via core.submat; default MATCH/MISMATCH DNA scoring).
     Returns M: [B, m+1, n_pad+1] int32 (nw.cc matrix), computed for the
     padded width — callers slice to each sequence's own n+1."""
     m = center.shape[0]
@@ -96,7 +100,10 @@ def nw_matrices_batch(center: jnp.ndarray, seqs: jnp.ndarray) -> jnp.ndarray:
 
     def body(carry, ci):
         Mprev, Yprev, i = carry
-        sub = jnp.where(seqs == ci, MATCH, MISMATCH).astype(jnp.int32)  # [B, n]
+        if sub_table is None:
+            sub = jnp.where(seqs == ci, MATCH, MISMATCH).astype(jnp.int32)
+        else:
+            sub = sub_table[ci.astype(jnp.int32)][seqs.astype(jnp.int32)]
         dia = Mprev[:, :-1] + sub                                        # j=1..n
         y = jnp.maximum(GSE + Mprev[:, 1:], GAP_EXTEND + Yprev[:, 1:])
         # x-chain: x[j] = max(GSE + M[i][j-1], GE + x[i][j-1]) with
@@ -130,7 +137,7 @@ def nw_matrices_batch(center: jnp.ndarray, seqs: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([row0[:, None, :], Ms.transpose(1, 0, 2)], axis=1)
 
 
-def backtrack(M: np.ndarray, center: str, seq: str):
+def backtrack(M: np.ndarray, center: str, seq: str, sub_table=None):
     """nw.cc:96-150: diag-preferred walk with k-run gap matching.
     Returns (space [m+1], space_for_other [n+1]) gap counts."""
     m, n = len(center), len(seq)
@@ -138,7 +145,10 @@ def backtrack(M: np.ndarray, center: str, seq: str):
     so = np.zeros(n + 1, np.int64)
     i, j = m, n
     while i != 0 or j != 0:
-        s = MATCH if (i > 0 and j > 0 and center[i - 1] == seq[j - 1]) else MISMATCH
+        if sub_table is not None and i > 0 and j > 0:
+            s = int(sub_table[ord(center[i - 1]), ord(seq[j - 1])])
+        else:
+            s = MATCH if (i > 0 and j > 0 and center[i - 1] == seq[j - 1]) else MISMATCH
         if i > 0 and j > 0 and s + M[i - 1][j - 1] == M[i][j]:
             i -= 1
             j -= 1
@@ -163,9 +173,15 @@ def backtrack(M: np.ndarray, center: str, seq: str):
 # ---------------------------------------------------------------------------
 
 
-def msa(seqs: list[str], center_idx: int | None = None):
+def msa(seqs: list[str], center_idx: int | None = None, matrix_path: str | None = None):
     """Center-star MSA.  Returns (aligned list[str] in input order,
-    center_idx)."""
+    center_idx).  matrix_path: optional NCBI scoring matrix (the STAR
+    `-p scoring/BLOSUM62.txt` protein mode)."""
+    sub_table = None
+    if matrix_path:
+        from genomics_tpu.core.submat import load_scoring_matrix
+
+        sub_table = load_scoring_matrix(matrix_path)
     if center_idx is None:
         center_idx = find_center_sequence(seqs)
     center = seqs[center_idx]
@@ -178,12 +194,18 @@ def msa(seqs: list[str], center_idx: int | None = None):
     for k, s in enumerate(others):
         arr[k, : len(s)] = np.frombuffer(s.encode(), np.uint8)
     cenc = np.frombuffer(center.encode(), np.uint8)
-    Ms = np.asarray(nw_matrices_batch(jnp.asarray(cenc), jnp.asarray(arr)))
+    Ms = np.asarray(
+        nw_matrices_batch(
+            jnp.asarray(cenc),
+            jnp.asarray(arr),
+            None if sub_table is None else jnp.asarray(sub_table),
+        )
+    )
 
     space = np.zeros((len(others), m + 1), np.int64)
     so = np.zeros((len(others), max_len + 1), np.int64)
     for k, s in enumerate(others):
-        sp, sk = backtrack(Ms[k, :, : len(s) + 1], center, s)
+        sp, sk = backtrack(Ms[k, :, : len(s) + 1], center, s, sub_table)
         space[k] = sp
         so[k, : len(s) + 1] = sk
 

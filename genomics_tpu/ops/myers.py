@@ -62,48 +62,46 @@ def myers_batch(
         Pv, Mv, score, best, best_end = carry
         c = texts[:, j]
         active = (c != 255) & (j < tlen)
-        Ev = jnp.take_along_axis(
-            eq, jnp.clip(c, 0, 3).astype(jnp.int32)[:, None, None].repeat(W, 2),
-            axis=1,
-        )[:, 0, :]
-        # X = ((Ev & Pv) + Pv) ^ Pv | Ev with multi-word add (fix-point)
+        # symbol select without gathers (gathers lower poorly on TPU)
+        cc = c.astype(jnp.int32)[:, None]
+        Ev = (
+            jnp.where(cc == 0, eq[:, 0, :], 0)
+            | jnp.where(cc == 1, eq[:, 1, :], 0)
+            | jnp.where(cc == 2, eq[:, 2, :], 0)
+            | jnp.where(cc == 3, eq[:, 3, :], 0)
+        )
+        # X = ((Ev & Pv) + Pv) ^ Pv | Ev with multi-word add; the carry
+        # ripple converges in <= W-1 propagation steps, so for the small
+        # word counts here a static unroll beats a dynamic while_loop
         a = Ev & Pv
-
-        def cond(s):
-            cin, prev = s
-            return jnp.any(cin != prev)
-
-        def body(s):
-            cin, _ = s
-            t = a + Pv + cin
-            # carry-out: t < a (overflow of a+Pv) … detect via sum < either
-            s1 = a + Pv
-            c1 = (s1 < a).astype(jnp.uint32)
+        s1 = a + Pv
+        c1 = (s1 < a).astype(jnp.uint32)
+        cin = jnp.zeros((B, W), jnp.uint32)
+        for _ in range(max(W - 1, 1)):
             s2 = s1 + cin
             c2 = (s2 < s1).astype(jnp.uint32)
             cout = c1 | c2
-            cin_new = jnp.concatenate(
-                [jnp.zeros((B, 1), jnp.uint32), cout[:, :-1]], axis=1
+            cin = jnp.maximum(
+                jnp.concatenate(
+                    [jnp.zeros((B, 1), jnp.uint32), cout[:, :-1]], axis=1
+                ),
+                cin,
             )
-            return jnp.maximum(cin_new, cin), cin
-
-        cin0 = jnp.zeros((B, W), jnp.uint32)
-        cin, _ = jax.lax.while_loop(cond, body, (cin0, jnp.full((B, W), 1, jnp.uint32)))
         # Myers's search variant (first text row all zeros): separate
         # horizontal (adder) and vertical X vectors, no Ph shift-in
         Xh = ((a + Pv + cin) ^ Pv) | Ev
         Xv = Ev | Mv
         Ph = Mv | ~(Xh | Pv)
         Mh = Pv & Xh
-        # score update from the last pattern word's top bit
-        ph_top = (
-            jnp.take_along_axis(Ph, last_word[:, None], axis=1)[:, 0]
-            >> top_bit.astype(jnp.uint32)
-        ) & 1
-        mh_top = (
-            jnp.take_along_axis(Mh, last_word[:, None], axis=1)[:, 0]
-            >> top_bit.astype(jnp.uint32)
-        ) & 1
+        # score update from the last pattern word's top bit (masked sum,
+        # not a gather)
+        is_last = (widx == last_word[:, None]).astype(jnp.uint32)
+        ph_top = jnp.sum(
+            ((Ph >> top_bit[:, None].astype(jnp.uint32)) & 1) * is_last, axis=1
+        )
+        mh_top = jnp.sum(
+            ((Mh >> top_bit[:, None].astype(jnp.uint32)) & 1) * is_last, axis=1
+        )
         new_score = score + ph_top.astype(jnp.int32) - mh_top.astype(jnp.int32)
         # shift Ph/Mh left by 1 across words (carry = neighbor top bit)
         def shl1(x):
@@ -162,3 +160,13 @@ def edit_distance_semiglobal(patterns, texts):
         jnp.asarray(eq), jnp.asarray(plen), jnp.asarray(tarr), jnp.asarray(tlen)
     )
     return np.asarray(best), np.asarray(end), np.asarray(final)
+
+
+@jax.jit
+def hamming_batch(a: jnp.ndarray, b: jnp.ndarray, length: jnp.ndarray):
+    """Batched Hamming distance over equal-length prefixes (reference:
+    nvbio alignment 'hamming' aligner).  a, b: [B, L] codes; length [B]."""
+    L = a.shape[1]
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    diff = (a != b) & (idx < jnp.asarray(length, jnp.int32)[:, None])
+    return jnp.sum(diff, axis=1).astype(jnp.int32)

@@ -48,3 +48,35 @@ def write_fasta(path: str, records: Iterable, width: int = 0) -> None:
                     fh.write(seq[i : i + width] + "\n")
             else:
                 fh.write(seq + "\n")
+
+
+class FastqRecord(NamedTuple):
+    name: str
+    seq: str
+    quals: str
+
+
+def read_fastq(path: str) -> "list[FastqRecord]":
+    """FASTQ reader (reference: nvbio/io sequence readers handle FASTQ
+    for nvBowtie/nvLighter inputs)."""
+    out: list[FastqRecord] = []
+    with open(path) as fh:
+        while True:
+            h = fh.readline()
+            if not h:
+                break
+            h = h.strip()
+            if not h:
+                continue
+            assert h.startswith("@"), f"bad FASTQ header: {h[:20]}"
+            seq = fh.readline().strip()
+            plus = fh.readline()
+            quals = fh.readline().strip()
+            out.append(FastqRecord(h[1:], seq, quals))
+    return out
+
+
+def quals_to_phred(quals: str, offset: int = 33):
+    import numpy as np
+
+    return np.frombuffer(quals.encode(), dtype=np.uint8).astype(np.int32) - offset

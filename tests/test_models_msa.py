@@ -63,3 +63,28 @@ def test_center_selection_dna():
     seqs = ["ACGTACGTACGTACGT", "ACGTACGTACGTACGT", "TTTTGGGGCCCCAAAA"]
     # the two identical sequences share all chunks → one of them wins
     assert M.find_center_sequence(seqs) in (0, 1)
+
+
+def test_msa_protein_matrix():
+    path = "/root/reference/CDP/STAR/protein.txt"
+    mat = "/root/reference/CDP/STAR/scoring/BLOSUM62.txt"
+    if not (os.path.exists(path) and os.path.exists(mat)):
+        pytest.skip("reference fixtures not mounted")
+    seqs = [r.seq for r in read_fasta(path)]
+    aligned, cidx = M.msa(seqs, matrix_path=mat)
+    assert len(set(len(a) for a in aligned)) == 1
+    # degapped rows reproduce the inputs
+    for s, a in zip(seqs, aligned):
+        assert a.replace("-", "") == s
+
+
+def test_submat_loader():
+    mat = "/root/reference/CDP/STAR/scoring/BLOSUM62.txt"
+    if not os.path.exists(mat):
+        pytest.skip("matrices not mounted")
+    from genomics_tpu.core.submat import load_scoring_matrix
+
+    t = load_scoring_matrix(mat)
+    assert t[ord("A"), ord("A")] == 4
+    assert t[ord("W"), ord("W")] == 11
+    assert t[ord("a"), ord("r")] == -1

@@ -88,3 +88,23 @@ def test_read_mapper():
         abs(m.pos - 1 - t) <= 2 for m, t in zip(maps, truth) if m.pos >= 0
     )
     assert correct >= 13
+
+
+def test_hamming_batch():
+    from genomics_tpu.ops.myers import hamming_batch
+
+    a = np.array([[0, 1, 2, 3, 0, 0], [1, 1, 1, 1, 1, 1]], np.uint8)
+    b = np.array([[0, 1, 2, 0, 0, 0], [1, 1, 2, 2, 1, 1]], np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(hamming_batch(a, b, np.array([4, 6]))), [1, 2]
+    )
+
+
+def test_fastq_reader(tmp_path):
+    from genomics_tpu.utils.fasta import read_fastq, quals_to_phred
+
+    p = tmp_path / "x.fastq"
+    p.write_text("@r1\nACGT\n+\nIIII\n@r2\nGGTT\n+\n!!II\n")
+    recs = read_fastq(str(p))
+    assert len(recs) == 2 and recs[0].seq == "ACGT"
+    np.testing.assert_array_equal(quals_to_phred(recs[1].quals), [0, 0, 40, 40])
