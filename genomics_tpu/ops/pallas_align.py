@@ -92,7 +92,11 @@ def _sub_scores_tile(q_tile, t_row, match, mismatch, n_penalty, global_macro):
 
 def _pack_nibbles(nib, Lq):
     """[Lq,128] int32 nibbles → [Lq//8,128] int32, 8 cells packed along
-    the query axis (cell j in bits 4*(j%8)..4*(j%8)+3)."""
+    the query axis (cell j in bits 4*(j%8)..4*(j%8)+3).
+
+    Only used by slow/compat paths — the kernels pack along the TARGET
+    axis instead (accumulate 8 rows in VMEM, one write per 8 steps),
+    which avoids a cross-sublane reshape every step."""
     shifted = nib << (4 * (_row_iota(Lq) % 8))
     packed = shifted.reshape(Lq // 8, 8, LANES).sum(axis=1)
     return packed
@@ -115,7 +119,7 @@ def _local_kernel(q_ref, t_ref, out_score, out_qend, out_tend, *rest, params,
     rows = _row_iota(Lq)
 
     def step(i, carry):
-        H, E, best, bkey = carry
+        H, E, best, bkey, tbacc = carry
         t_row = t_ref[pl.ds(i, 1), :]
         sub = _sub_scores_tile(
             q_tile, t_row, params.match, params.mismatch, params.n_penalty, False
@@ -139,16 +143,24 @@ def _local_kernel(q_ref, t_ref, out_score, out_qend, out_tend, *rest, params,
             f_ext = jnp.where((tmp - goe) > (f_used - ge), 0, 1)
             e_ext = jnp.where((tmp - goe) > (E - ge), 0, 1)
             nib = d | (e_ext << 2) | (f_ext << 3)
-            tb_ref[pl.ds(i, 1), :, :] = _pack_nibbles(nib, Lq)[None]
-        return (h, E_new, best, bkey)
+            # pack 8 TARGET rows per int32 (bits 4*(i%8)..): accumulate
+            # in VMEM, one HBM write per 8 steps — no per-step reshape
+            tbacc = jnp.where((i & 7) == 0, nib, tbacc | (nib << ((i & 7) * 4)))
+
+            @pl.when((i & 7) == 7)
+            def _():
+                tb_ref[pl.ds(i >> 3, 1), :, :] = tbacc[None]
+
+        return (h, E_new, best, bkey, tbacc)
 
     init = (
         zero,
         zero,
         jnp.zeros((1, LANES), jnp.int32),
         jnp.full((1, LANES), jnp.int32(jnp.iinfo(jnp.int32).max)),
+        zero,
     )
-    H, E, best, bkey = jax.lax.fori_loop(0, Lt, step, init)
+    H, E, best, bkey, _tb = jax.lax.fori_loop(0, Lt, step, init)
     cell = bkey >> 3
     qend = cell % Lq
     tend = (cell // Lq) * 8 + (bkey & 7)
@@ -184,10 +196,10 @@ def local_align_tpu(
         for _ in range(3)
     ]
     if with_tb:
-        out_shape.append(jax.ShapeDtypeStruct((Lt, Lq // 8, B), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((Lt // 8, Lq, B), jnp.int32))
         out_specs.append(
             pl.BlockSpec(
-                (Lt, Lq // 8, LANES), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+                (Lt // 8, Lq, LANES), lambda b: (0, 0, b), memory_space=pltpu.VMEM
             )
         )
 
@@ -211,13 +223,15 @@ def local_align_tpu(
 
 
 def unpack_tb_nibbles(packed: np.ndarray) -> np.ndarray:
-    """[B?, Lt, Lq//8] int32 packed → [..., Lt, Lq] uint8 nibble matrix
+    """[B?, Lt//8, Lq] int32 packed (8 TARGET rows per word, row i in
+    bits 4*(i%8)..) → [..., Lt, Lq] uint8 nibble matrix
     (the golds.decode_tb input format)."""
     packed = np.asarray(packed)
-    shifts = (4 * np.arange(8, dtype=np.int64))[None, :]
-    flat = packed[..., None] >> shifts.reshape((1,) * (packed.ndim) + (8,))
-    out = (flat & 0xF).astype(np.uint8)
-    return out.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+    *lead, Lt8, Lq = packed.shape
+    shifts = 4 * np.arange(8, dtype=np.int64)
+    # [..., Lt8, 8, Lq]
+    rows = (packed[..., :, None, :] >> shifts[None, :, None]) & 0xF
+    return rows.astype(np.uint8).reshape(*lead, Lt8 * 8, Lq)
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +255,7 @@ def _global_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_score, *rest,
     seed_inf = jnp.full((Lq, LANES), MINUS_INF, jnp.int32)
 
     def step(i, carry):
-        H, E, score = carry
+        H, E, score, tbacc = carry
         t_row = t_ref[pl.ds(i, 1), :]
         sub = _sub_scores_tile(
             q_tile, t_row, params.match, params.mismatch, params.n_penalty, True
@@ -264,11 +278,17 @@ def _global_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_score, *rest,
             f_ext = jnp.where((tmp - goe) > (f_used - ge), 0, 1)
             e_ext = jnp.where((tmp - goe) > (E - ge), 0, 1)
             nib = d | (e_ext << 2) | (f_ext << 3)
-            tb_ref[pl.ds(i, 1), :, :] = _pack_nibbles(nib, Lq)[None]
-        return (h, E_new, score)
+            tbacc = jnp.where((i & 7) == 0, nib, tbacc | (nib << ((i & 7) * 4)))
 
-    init = (H0, E0, jnp.zeros((1, LANES), jnp.int32))
-    H, E, score = jax.lax.fori_loop(0, Lt, step, init)
+            @pl.when((i & 7) == 7)
+            def _():
+                tb_ref[pl.ds(i >> 3, 1), :, :] = tbacc[None]
+
+        return (h, E_new, score, tbacc)
+
+    init = (H0, E0, jnp.zeros((1, LANES), jnp.int32),
+            jnp.zeros((Lq, LANES), jnp.int32))
+    H, E, score, _tb = jax.lax.fori_loop(0, Lt, step, init)
     out_score[...] = score
 
 
@@ -296,10 +316,10 @@ def global_align_tpu(
         pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
     ]
     if with_tb:
-        out_shape.append(jax.ShapeDtypeStruct((Lt, Lq // 8, B), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((Lt // 8, Lq, B), jnp.int32))
         out_specs.append(
             pl.BlockSpec(
-                (Lt, Lq // 8, LANES), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+                (Lt // 8, Lq, LANES), lambda b: (0, 0, b), memory_space=pltpu.VMEM
             )
         )
     kernel = functools.partial(

@@ -211,7 +211,7 @@ class AlignEngine:
             cigars = n_ops = qstart = tstart = None
             if self.with_tb and res.tb is not None:
                 packed = np.asarray(res.tb)
-                if packed.ndim == 3 and packed.shape[-1] == lq:
+                if packed.dtype == np.uint8:
                     # scan engine emits unpacked [B, Lt, Lq] nibbles; pack
                     packed = _pack_nibbles_np(packed)
                 algo = "local" if self.params.algo == AlgoType.LOCAL else "global"
@@ -237,8 +237,9 @@ class AlignEngine:
 
 
 def _pack_nibbles_np(nibs: np.ndarray) -> np.ndarray:
-    """[B, Lt, Lq] uint8 nibbles → [B, Lt, Lq//8] int32 packed."""
+    """[B, Lt, Lq] uint8 nibbles → [B, Lt//8, Lq] int32 packed (8 target
+    rows per word — the Pallas kernels' layout)."""
     B, Lt, Lq = nibs.shape
-    r = nibs.reshape(B, Lt, Lq // 8, 8).astype(np.int64)
+    r = nibs.reshape(B, Lt // 8, 8, Lq).astype(np.int64)
     shifts = 4 * np.arange(8, dtype=np.int64)
-    return (r << shifts).sum(axis=-1).astype(np.int32)
+    return (r << shifts[None, None, :, None]).sum(axis=2).astype(np.int32)

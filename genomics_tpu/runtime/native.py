@@ -66,7 +66,7 @@ def _ptr(a, ctype):
 
 
 def decode_tb_batch(
-    packed: np.ndarray,   # [B, Lt, Lq8] int32 packed nibbles
+    packed: np.ndarray,   # [B, Lt//8, Lq] int32 packed nibbles (8 target rows/word)
     qlen: np.ndarray,
     tlen: np.ndarray,
     algo: str,
@@ -80,8 +80,8 @@ def decode_tb_batch(
     qstart, tstart).  Uses the C++ decoder when available, else the
     Python gold (bit-identical)."""
     packed = np.ascontiguousarray(packed, np.int32)
-    B, Lt, Lq8 = packed.shape
-    Lq = Lq8 * 8
+    B, Lt8, Lq = packed.shape
+    Lt = Lt8 * 8
     max_ops = max_ops or (Lq + Lt + 8)
     qlen = np.ascontiguousarray(qlen, np.int32)
     tlen = np.ascontiguousarray(tlen, np.int32)
@@ -99,7 +99,7 @@ def decode_tb_batch(
         qstart = np.zeros(B, np.int32)
         tstart = np.zeros(B, np.int32)
         lib.gt_decode_tb_batch(
-            _ptr(packed, ctypes.c_int32), B, Lt, Lq8,
+            _ptr(packed, ctypes.c_int32), B, Lt8, Lq,
             _ptr(qlen, ctypes.c_int32), _ptr(tlen, ctypes.c_int32),
             _ptr(score, ctypes.c_int32), _ptr(qend, ctypes.c_int32),
             _ptr(tend, ctypes.c_int32), a,

@@ -2,9 +2,10 @@
 //
 // Replicates the gasal_get_tb state machine (reference:
 // CDP/GASAL2/src/kernels/get_tb.h:5-149) over the framework's packed
-// nibble matrices: [Lt, Lq/8] int32 per alignment, cell (i, j) in bits
-// 4*(j%8)..4*(j%8)+3 of packed[i*Lq8 + j/8].  Nibble: bit3 = f_ext,
-// bit2 = e_ext, bits1:0 = dir (0=M 1=X 2=D 3=I).
+// nibble matrices: [Lt/8, Lq] int32 per alignment, cell (i, j) in bits
+// 4*(i%8)..4*(i%8)+3 of packed[(i/8)*Lq + j] (8 TARGET rows per word —
+// the layout the Pallas kernels emit without per-step reshapes).
+// Nibble: bit3 = f_ext, bit2 = e_ext, bits1:0 = dir (0=M 1=X 2=D 3=I).
 //
 // The walk is inherently serial per alignment (data-dependent), which
 // is why it lives on the host in C++ (OpenMP across alignments) instead
@@ -21,7 +22,7 @@ extern "C" {
 
 // Decode one alignment's traceback.  Returns number of ops written.
 // algo: 0 = local (score-stop; writes q/t starts), 1 = global (D/I pad).
-static int decode_one(const int32_t* packed, int Lt, int Lq8,
+static int decode_one(const int32_t* packed, int Lt8, int Lq,
                       int qlen, int tlen, int algo,
                       int score, int qend, int tend,
                       int match, int mismatch, int gap_oe, int gap_extend,
@@ -37,7 +38,7 @@ static int decode_one(const int32_t* packed, int Lt, int Lq8,
         i = tlen;
         j = qlen;
     }
-    int Lq = Lq8 * 8;
+    int Lt = Lt8 * 8;
     uint32_t prev_op = 0;
     int count = 0;
     int op_select = 3, op_shift = 0;
@@ -46,8 +47,8 @@ static int decode_one(const int32_t* packed, int Lt, int Lq8,
     while (i >= 0 && j >= 0) {
         uint32_t cell_op = 0;
         if (i < Lt && j < Lq) {
-            uint32_t word = (uint32_t)packed[(size_t)i * Lq8 + (j >> 3)];
-            cell_op = (word >> (4 * (j & 7))) & 0xF;
+            uint32_t word = (uint32_t)packed[(size_t)(i >> 3) * Lq + j];
+            cell_op = (word >> (4 * (i & 7))) & 0xF;
         }
         uint32_t op = (cell_op >> op_shift) & (uint32_t)op_select;
         uint32_t op_to_fill = (op == 0 || op_select == 3) ? op : (uint32_t)op_shift;
@@ -113,7 +114,7 @@ static int decode_one(const int32_t* packed, int Lt, int Lq8,
 }
 
 // Batched decode.  packed: [B, Lt, Lq8] int32; cigars: [B, max_ops] u8.
-void gt_decode_tb_batch(const int32_t* packed, int B, int Lt, int Lq8,
+void gt_decode_tb_batch(const int32_t* packed, int B, int Lt8, int Lq,
                         const int32_t* qlen, const int32_t* tlen,
                         const int32_t* score, const int32_t* qend,
                         const int32_t* tend, int algo,
@@ -123,7 +124,7 @@ void gt_decode_tb_batch(const int32_t* packed, int B, int Lt, int Lq8,
 #pragma omp parallel for schedule(dynamic, 16)
     for (int b = 0; b < B; b++) {
         n_ops[b] = decode_one(
-            packed + (size_t)b * Lt * Lq8, Lt, Lq8, qlen[b], tlen[b], algo,
+            packed + (size_t)b * Lt8 * Lq, Lt8, Lq, qlen[b], tlen[b], algo,
             score[b], qend[b], tend[b], match, mismatch, gap_oe, gap_extend,
             cigars + (size_t)b * max_ops, max_ops, &qstart[b], &tstart[b]);
     }
