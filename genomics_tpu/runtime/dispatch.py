@@ -133,6 +133,12 @@ class AlignEngine:
                 qd, td, ql, tl, p, head=self.head, tail=self.tail
             )
         if algo == AlgoType.KSW:
+            if self.use_pallas:
+                from genomics_tpu.ops import pallas_ksw
+
+                return pallas_ksw.ksw_align_tpu(
+                    qd, td, ql, tl, jnp.asarray(h0), p
+                )
             return scan_align.ksw_align_batch(
                 qd, td, ql, tl, jnp.asarray(h0), p
             )

@@ -120,3 +120,18 @@ def test_pairhmm_kernel_matches_scan():
     got = pallas_pairhmm.pairhmm_forward_tpu_dataset(recs, pad_r=48, pad_c=56)
     ref = scan_pairhmm.pairhmm_forward_dataset(recs, pad_r=48, pad_c=56)
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_ksw_kernel_matches_scan():
+    from genomics_tpu.ops import pallas_ksw
+
+    rng = np.random.default_rng(9)
+    pb = make_batch(rng)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ql, tl = jnp.asarray(pb.query.lengths), jnp.asarray(pb.target.lengths)
+    h0 = jnp.asarray(rng.integers(5, 40, pb.size).astype(np.int32))
+    res = pallas_ksw.ksw_align_tpu(q, t, ql, tl, h0, P)
+    ref = scan_align.ksw_align_batch(q, t, ql, tl, h0, P)
+    np.testing.assert_array_equal(np.asarray(res.score), np.asarray(ref.score))
+    np.testing.assert_array_equal(np.asarray(res.query_end), np.asarray(ref.query_end))
+    np.testing.assert_array_equal(np.asarray(res.target_end), np.asarray(ref.target_end))
