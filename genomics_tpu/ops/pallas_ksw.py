@@ -164,3 +164,104 @@ def ksw_align_tpu(
         interpret=_interpret(),
     )(qT, tT, qlenT, tlenT, h0T)
     return AlignResult(res[0][0], res[1][0], res[2][0], None)
+
+
+# ---------------------------------------------------------------------------
+# BANDED kernel (gasal_banded_tiled_kernel)
+# ---------------------------------------------------------------------------
+
+
+def _banded_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
+                   out_score, out_qend, out_tend, *, params, Lq, Lt,
+                   band_width_tiles):
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    q_tile = q_ref[...]
+    qlen = qlen_ref[...]
+    tlen = tlen_ref[...]
+    rows = _row_iota(Lq)
+    zero = jnp.zeros((Lq, LANES), jnp.int32)
+    qr = (qlen + 7) // 8
+    tr = (tlen + 7) // 8
+    k_band = jnp.int32(band_width_tiles)
+    k_other = tr - (qr - k_band)
+
+    def step(i, carry):
+        gH, gE, best, bkey = carry
+        strip = i >> 3
+        t_row = t_ref[pl.ds(i, 1), :]
+        visit = strip < tr
+        j0 = jnp.maximum(0, strip - k_other + 1) * 8       # [1,128]
+        jend = jnp.minimum(k_band + strip, qr) * 8
+        inband = (rows >= j0) & (rows < jend) & visit
+        sub = _sub_scores_tile(
+            q_tile, t_row, params.match, params.mismatch, params.n_penalty, False
+        )
+        shifted = jnp.where(rows == 0, jnp.int32(0),
+                            pltpu.roll(gH, shift=1, axis=0))
+        tmp = shifted + sub
+        tmp = jnp.where(rows == j0, sub, tmp)              # strip p[] reset
+        E_used = jnp.maximum(gH - goe, gE - ge)
+        g = jnp.maximum(jnp.maximum(tmp, E_used), 0) - goe
+        g = jnp.where(inband, g, NEG_BIG)
+        g = jnp.where(rows == (j0 - 1), -ge, g)            # band-left seed
+        f_used = _fscan_rows(g, zero - ge, ge)
+        h = jnp.maximum(jnp.maximum(tmp, f_used), jnp.maximum(E_used, 0))
+        gH_new = jnp.where(inband, h, gH)
+        gE_new = jnp.where(inband, E_used, gE)
+        hmask = jnp.where(inband, h, NEG_BIG)
+        rh = jnp.max(hmask, axis=0, keepdims=True)
+        row_j = jnp.min(jnp.where(hmask == rh, rows, INT_MAX), axis=0,
+                        keepdims=True)
+        rkey = ((i >> 3) * Lq + row_j) * 8 + (i & 7)
+        take = ((rh > best) | ((rh == best) & (rkey < bkey))) & (rh > 0)
+        best = jnp.where(take, rh, best)
+        bkey = jnp.where(take, rkey, bkey)
+        return (gH_new, gE_new, best, bkey)
+
+    init = (
+        zero, zero,
+        jnp.zeros((1, LANES), jnp.int32),
+        jnp.full((1, LANES), INT_MAX, jnp.int32),
+    )
+    gH, gE, best, bkey = jax.lax.fori_loop(0, Lt, step, init)
+    cell = bkey >> 3
+    nz = best > 0
+    out_score[...] = best
+    out_qend[...] = jnp.where(nz, cell % Lq, 0)
+    out_tend[...] = jnp.where(nz, (cell // Lq) * 8 + (bkey & 7), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "band_width_tiles"))
+def banded_align_tpu(
+    q: jnp.ndarray,
+    t: jnp.ndarray,
+    qlen: jnp.ndarray,
+    tlen: jnp.ndarray,
+    params: AlignmentParams,
+    band_width_tiles: int,
+) -> AlignResult:
+    """Batched banded local DP on TPU (banded.h semantics, stale
+    out-of-band state preserved via masked writes)."""
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    assert B % LANES == 0 and Lq % 8 == 0
+    qT = q.T.astype(jnp.int32)
+    tT = t.T.astype(jnp.int32)
+    qlenT = jnp.asarray(qlen, jnp.int32)[None, :]
+    tlenT = jnp.asarray(tlen, jnp.int32)[None, :]
+    kernel = functools.partial(
+        _banded_kernel, params=params, Lq=Lq, Lt=Lt,
+        band_width_tiles=band_width_tiles,
+    )
+    vec = lambda n: pl.BlockSpec((n, LANES), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM)
+    res = pl.pallas_call(
+        kernel,
+        grid=(B // LANES,),
+        in_specs=[vec(Lq), vec(Lt), vec(1), vec(1)],
+        out_shape=[jax.ShapeDtypeStruct((1, B), jnp.int32)] * 3,
+        out_specs=[vec(1)] * 3,
+        interpret=_interpret(),
+    )(qT, tT, qlenT, tlenT)
+    return AlignResult(res[0][0], res[1][0], res[2][0], None)

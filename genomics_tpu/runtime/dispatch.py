@@ -143,6 +143,12 @@ class AlignEngine:
                 qd, td, ql, tl, jnp.asarray(h0), p
             )
         if algo == AlgoType.BANDED:
+            if self.use_pallas:
+                from genomics_tpu.ops import pallas_ksw
+
+                return pallas_ksw.banded_align_tpu(
+                    qd, td, ql, tl, p, band_width_tiles=self.band_width_tiles
+                )
             return scan_align.banded_align_batch(
                 qd, td, ql, tl, p, band_width_tiles=self.band_width_tiles
             )

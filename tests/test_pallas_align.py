@@ -135,3 +135,21 @@ def test_ksw_kernel_matches_scan():
     np.testing.assert_array_equal(np.asarray(res.score), np.asarray(ref.score))
     np.testing.assert_array_equal(np.asarray(res.query_end), np.asarray(ref.query_end))
     np.testing.assert_array_equal(np.asarray(res.target_end), np.asarray(ref.target_end))
+
+
+def test_banded_kernel_matches_scan():
+    from genomics_tpu.ops import pallas_ksw
+
+    rng = np.random.default_rng(10)
+    pb = make_batch(rng, qmax=48, tmax=48, q_pad=56, t_pad=56)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ql, tl = jnp.asarray(pb.query.lengths), jnp.asarray(pb.target.lengths)
+    for band in (1, 2, 4):
+        res = pallas_ksw.banded_align_tpu(q, t, ql, tl, P, band)
+        ref = scan_align.banded_align_batch(q, t, ql, tl, P, band_width_tiles=band)
+        np.testing.assert_array_equal(
+            np.asarray(res.score), np.asarray(ref.score), err_msg=f"band={band}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.query_end), np.asarray(ref.query_end)
+        )
