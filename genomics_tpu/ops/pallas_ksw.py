@@ -46,14 +46,16 @@ def _ksw_kernel(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
     # first row init (ksw_kernel_template.h:79-83)
     ehh0 = jnp.maximum(h0 - goe - (rows - 1) * ge, 0)
     ehh0 = jnp.where(rows == 0, h0, ehh0)
-    written = jnp.where(rows >= 2, (h0 - goe - (rows - 2) * ge) > ge, rows >= 0)
+    # bool-valued where lowers to an unsupported i8->i1 trunc in Mosaic
+    written = (rows < 2) | ((h0 - goe - (rows - 2) * ge) > ge)
     ehh0 = jnp.where(written, ehh0, 0)
     ehh0 = jnp.where(rows <= qlen, ehh0, 0)
 
     def step(i, carry):
         ehh, ehe, beg, end, alive, mx, max_i, max_j, max_ie, gscore = carry
         t_row = t_ref[pl.ds(i, 1), :]
-        do = alive & (i < tlen)
+        do = (alive > 0) & (i < tlen)   # alive carried as int32 (i1 loop
+        #                                 carries fail Mosaic legalization)
         sub = _sub_scores_tile(
             q_tile, t_row, params.match, params.mismatch, params.n_penalty, False
         )
@@ -89,7 +91,7 @@ def _ksw_kernel(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
         gscore = jnp.where(gupd, h1_final, gscore)
         max_ie = jnp.where(gupd, i, max_ie)
         died = do & (rowmax == 0)
-        alive = alive & ~died
+        alive = jnp.where(died, 0, alive)
         do2 = do & ~died
         mupd = do2 & (rowmax > mx)
         mx = jnp.where(mupd, rowmax, mx)
@@ -117,7 +119,7 @@ def _ksw_kernel(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
         zero,
         ones_row * 0,
         qlen,
-        ones_row > 0,
+        ones_row,
         h0,
         ones_row * 0 - 1,
         ones_row * 0 - 1,
