@@ -57,3 +57,29 @@ def test_pairhmm_reference_dataset_grid():
                 r["read"], r["hap"], r["base_quals"], r["ins_quals"], r["del_quals"]
             )
             np.testing.assert_allclose(got[i], want, rtol=2e-6, err_msg=name)
+
+
+def test_pairhmm_full_dataset_grid():
+    """Sweep every bundled synthetic dataset (intra-task grid + the
+    inter-task *_data.txt set), 1 record each, gold parity."""
+    import glob
+
+    base = "/root/reference/Non-CDP/PairHMM"
+    files = sorted(
+        glob.glob(f"{base}/Intra-task/Synthetic_data/dataset/*.txt")
+        + glob.glob(f"{base}/inter_task/Synthetic_data/dataset/*_data.txt")
+    )
+    if not files:
+        pytest.skip("datasets not mounted")
+    recs = []
+    for f in files:
+        r = golds.read_pairhmm_dataset(f, limit=1)
+        if r:
+            recs.append((os.path.basename(f), r[0]))
+    assert len(recs) >= 20
+    got = scan_pairhmm.pairhmm_forward_dataset([r for _, r in recs])
+    for (name, r), g in zip(recs, got):
+        want = golds.pairhmm_forward(
+            r["read"], r["hap"], r["base_quals"], r["ins_quals"], r["del_quals"]
+        )
+        np.testing.assert_allclose(g, want, rtol=2e-6, err_msg=name)
