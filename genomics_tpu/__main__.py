@@ -1,0 +1,149 @@
+"""Command-line entry points for the seven apps:
+
+    python -m genomics_tpu nw       -N 256 [--seed 0]
+    python -m genomics_tpu sw       -s small.txt -l large.txt [-w W] [-o OVL]
+    python -m genomics_tpu align    -q q.fasta -t t.fasta [-y local] [--tb]
+    python -m genomics_tpu pairhmm  dataset.txt [--fakesize N]
+    python -m genomics_tpu msa      in.fasta out.fasta [-p matrix.txt]
+    python -m genomics_tpu cluster  -i in.fasta -o out.fasta [-t 0.95] [-w WL]
+    python -m genomics_tpu ngia     -i in.fasta -o out.txt [-s 0.95]
+    python -m genomics_tpu map      -r ref.fasta -q reads.fastq -o out.sam
+
+Flag spellings follow the reference apps where they had them
+(NW getopt -N, SW -s/-l/-w/-o, GASAL2 -y algo, CLUSTER i/o/t/w,
+nGIA -s similarity)."""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="genomics_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("nw", help="NW demo app (random ref + mutated query)")
+    p.add_argument("-N", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("sw", help="windowed Smith-Waterman")
+    p.add_argument("-s", "--smallfile", required=True)
+    p.add_argument("-l", "--largefile", required=True)
+    p.add_argument("-w", "--windowsize", type=int, default=0)
+    p.add_argument("-o", "--overlap", type=int, default=0)
+
+    p = sub.add_parser("align", help="GASAL2-class batched aligner")
+    p.add_argument("-q", "--query", required=True)
+    p.add_argument("-t", "--target", required=True)
+    p.add_argument("-y", "--algo", default="local",
+                   choices=["local", "global", "semi_global", "banded", "ksw"])
+    p.add_argument("--tb", action="store_true", help="traceback/CIGAR")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("-a", "--match", type=int, default=1)
+    p.add_argument("-b", "--mismatch", type=int, default=4)
+    p.add_argument("-c", "--gapo", type=int, default=6)
+    p.add_argument("-d", "--gape", type=int, default=1)
+
+    p = sub.add_parser("pairhmm", help="PairHMM forward likelihoods")
+    p.add_argument("dataset")
+    p.add_argument("--fakesize", type=int, default=None)
+
+    p = sub.add_parser("msa", help="center-star MSA")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("-p", "--matrix", default=None)
+
+    p = sub.add_parser("cluster", help="greedy read clustering")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("-t", "--threshold", type=float, default=0.95)
+    p.add_argument("-w", "--wordlength", type=int, default=0)
+    p.add_argument("-g", "--speculate", type=int, default=1)
+
+    p = sub.add_parser("ngia", help="distributed greedy clustering")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("-s", "--similarity", type=float, default=0.95)
+
+    p = sub.add_parser("map", help="read mapping → SAM")
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-q", "--reads", required=True)
+    p.add_argument("-o", "--output", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "nw":
+        from genomics_tpu.models import nw
+
+        score = nw.run(N=args.N, seed=args.seed)
+        print(f"Verification succeeded; final score {score}")
+    elif args.cmd == "sw":
+        from genomics_tpu.models import sw
+
+        x = open(args.smallfile).readline().strip()
+        y = open(args.largefile).readline().strip()
+        res = sw.align(x, y, window_size=args.windowsize or None,
+                       overlap=args.overlap or None)
+        print(f"Best alignment found at {res['location']}")
+        print(f"score {res['score']} cigar {res['cigar_compressed']}")
+    elif args.cmd == "align":
+        from genomics_tpu.core.scoring import AlignmentParams, AlgoType
+        from genomics_tpu.models.aligner import align_fasta_pairs
+
+        params = AlignmentParams(
+            match=args.match, mismatch=args.mismatch,
+            gap_open=args.gapo, gap_extend=args.gape,
+            algo=AlgoType(args.algo),
+        )
+        jobs = align_fasta_pairs(args.query, args.target, params=params,
+                                 with_tb=args.tb, limit=args.limit)
+        for i, j in enumerate(jobs):
+            line = f"{i}\tscore={j.score}\tqe={j.query_end}\tte={j.target_end}"
+            if args.tb and j.cigar is not None:
+                line += f"\tqs={j.query_start}\tts={j.target_start}\tcigar={j.cigar_string}"
+            print(line)
+    elif args.cmd == "pairhmm":
+        from genomics_tpu.models import pairhmm
+
+        res = pairhmm.run_dataset(args.dataset, fakesize=args.fakesize)
+        print(f"  i=0  {res.likelihoods[0]:e}")
+        print(f"GCUPS: {res.gcups:f}")
+    elif args.cmd == "msa":
+        from genomics_tpu.models import msa
+
+        aligned, cidx = msa.run_file(args.input, args.output)
+        print(f"center sequence index: {cidx}; wrote {len(aligned)} rows")
+    elif args.cmd == "cluster":
+        from genomics_tpu.models import cluster
+
+        res = cluster.run_file(args.input, args.output,
+                               threshold=args.threshold,
+                               word_length=args.wordlength)
+        print(f"clusters: {res.n_clusters}")
+    elif args.cmd == "ngia":
+        from genomics_tpu.models import ngia
+
+        res = ngia.run_file(args.input, args.output,
+                            similarity=args.similarity)
+        print(f"cluster: {res.n_clusters}")
+    elif args.cmd == "map":
+        from genomics_tpu.models.mapper import ReadMapper
+        from genomics_tpu.utils.fasta import read_fasta, read_fastq
+        from genomics_tpu.utils.samio import write_sam
+
+        ref = read_fasta(args.reference)[0]
+        if args.reads.endswith((".fastq", ".fq")):
+            reads = read_fastq(args.reads)
+        else:
+            reads = read_fasta(args.reads)
+        mapper = ReadMapper(ref.seq)
+        maps = mapper.map_batch([r.seq for r in reads])
+        write_sam(args.output, ref.name.split()[0] or "ref", len(ref.seq),
+                  [(r.name.split()[0], r.seq, m) for r, m in zip(reads, maps)])
+        mapped = sum(m.pos >= 0 for m in maps)
+        print(f"mapped {mapped}/{len(reads)} → {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
