@@ -163,6 +163,11 @@ class AlignEngine:
         h0: Sequence[int] | None = None,
     ) -> list[AlignmentJob]:
         """Align pairs; returns results in submission order."""
+        return self._collect(*self._dispatch(queries, targets, h0))
+
+    def _dispatch(self, queries, targets, h0=None):
+        """Enqueue all bucket kernels (JAX async dispatch — device work
+        begins immediately); returns the pending state for _collect."""
         assert len(queries) == len(targets)
         n = len(queries)
         enc_q = [encode4(s) if isinstance(s, (str, bytes)) else np.asarray(s, np.uint8)
@@ -194,7 +199,10 @@ class AlignEngine:
                 hb[k] = h0[i]
             res = self._run_bucket(qb, tb, qlen, tlen, hb)
             pending.append(((lq, lt), idxs, qlen, tlen, res))
+        return pending, n, enc_q, enc_t
 
+    def _collect(self, pending, n, enc_q, enc_t):
+        """Materialize results (blocks on the device work)."""
         out: list[AlignmentJob | None] = [None] * n
         for (lq, lt), idxs, qlen, tlen, res in pending:
             score = np.asarray(res.score)
@@ -255,3 +263,41 @@ def _pack_nibbles_np(nibs: np.ndarray) -> np.ndarray:
     r = nibs.reshape(B, Lt // 8, 8, Lq).astype(np.int64)
     shifts = 4 * np.arange(8, dtype=np.int64)
     return (r << shifts[None, None, :, None]).sum(axis=2).astype(np.int32)
+
+
+class AsyncHandle:
+    """In-flight batch: device work was dispatched asynchronously at
+    submit time; `result()` materializes (the gasal_is_aln_async_done
+    poll becomes a blocking collect — JAX queues the device work at
+    submit, so host prep of the NEXT batch overlaps device compute of
+    this one, exactly GASAL2's double-buffering)."""
+
+    def __init__(self, engine, finisher):
+        self._finisher = finisher
+        self._result = None
+        self._done = False
+
+    def done(self) -> bool:
+        # JAX async dispatch gives no cheap poll; report done after the
+        # first result() (parity with gasal_is_aln_async_done semantics)
+        return self._done
+
+    def result(self) -> list[AlignmentJob]:
+        if not self._done:
+            self._result = self._finisher()
+            self._done = True
+        return self._result
+
+
+def _engine_align_async(self, queries, targets, h0=None):
+    """Submit a batch; device work starts now, host returns immediately.
+
+    >>> h1 = eng.align_async(q1, t1)   # device busy with batch 1
+    >>> h2 = eng.align_async(q2, t2)   # prep + enqueue batch 2 meanwhile
+    >>> r1, r2 = h1.result(), h2.result()
+    """
+    state = self._dispatch(queries, targets, h0)
+    return AsyncHandle(self, lambda s=state: self._collect(*s))
+
+
+AlignEngine.align_async = _engine_align_async

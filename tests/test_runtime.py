@@ -112,3 +112,19 @@ def test_native_decoder_available_and_parity():
         assert a.score == b.score
         np.testing.assert_array_equal(a.cigar, b.cigar)
         assert (a.query_start, a.target_start) == (b.query_start, b.target_start)
+
+
+def test_align_async_double_buffer():
+    """align_async: two in-flight batches, results in order, gold parity."""
+    rng = np.random.default_rng(7)
+    qs1, ts1 = rand_pairs(rng, 8, lo=10, hi=50)
+    qs2, ts2 = rand_pairs(rng, 8, lo=10, hi=50)
+    eng = AlignEngine(P)
+    h1 = eng.align_async(qs1, ts1)
+    h2 = eng.align_async(qs2, ts2)
+    r1, r2 = h1.result(), h2.result()
+    assert h1.done() and h2.done()
+    g = golds.local_align(qs1[2], ts1[2], P)
+    assert r1[2].score == g["score"]
+    g = golds.local_align(qs2[6], ts2[6], P)
+    assert r2[6].score == g["score"]
