@@ -90,3 +90,49 @@ class FMIndex:
         codes = encode2(pattern)[None, :]
         lo, hi = self.backward_search(codes, np.array([codes.shape[1]]))
         return int(max(hi[0] - lo[0], 0))
+
+
+def find_mems(fm: "FMIndex", query, min_len: int = 19):
+    """Greedy maximal exact matches (nvmem-class seeding — reference:
+    CDP/NvB/nvMem uses FM-index MEM seeds for chaining).
+
+    Right-to-left backward-search extension: extend until the SA range
+    empties, record the maximal match, restart just before the failure
+    point.  Returns [(q_start, q_end, sa_lo, sa_hi), ...] with
+    q_end exclusive, only matches >= min_len."""
+    codes = encode2(query) if isinstance(query, (str, bytes)) else np.asarray(query)
+    n = len(codes)
+    mems = []
+    e = n  # exclusive end of the current extension
+    while e > 0:
+        lo, hi = 0, fm.n
+        i = e
+        last = None
+        while i > 0 and codes[i - 1] != 255:
+            s = int(codes[i - 1]) + 1
+            nlo = fm.C[s] + fm.occ[s, lo]
+            nhi = fm.C[s] + fm.occ[s, hi]
+            if nhi <= nlo:
+                break
+            lo, hi = int(nlo), int(nhi)
+            i -= 1
+            last = (i, e, lo, hi)
+        if last is not None and (last[1] - last[0]) >= min_len:
+            mems.append(last)
+        # restart: skip past the character that broke the extension (or
+        # the start of this match)
+        e = i - 1 if i == e else (e - 1 if last is None else i)
+        if last is not None and i == 0:
+            break
+        if last is None:
+            e = min(e, i) if i < e else e - 1
+    return mems
+
+
+def seed_positions(fm: "FMIndex", query, min_len: int = 19, max_hits: int = 32):
+    """MEMs expanded to (q_start, ref_pos) seed pairs (capped per MEM)."""
+    out = []
+    for qs, qe, lo, hi in find_mems(fm, query, min_len):
+        for p in fm.sa[lo : min(hi, lo + max_hits)]:
+            out.append((qs, int(p)))
+    return out

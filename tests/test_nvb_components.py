@@ -108,3 +108,24 @@ def test_fastq_reader(tmp_path):
     recs = read_fastq(str(p))
     assert len(recs) == 2 and recs[0].seq == "ACGT"
     np.testing.assert_array_equal(quals_to_phred(recs[1].quals), [0, 0, 40, 40])
+
+
+def test_mem_seeder():
+    from genomics_tpu.index import FMIndex
+    from genomics_tpu.index.fmindex import find_mems, seed_positions
+
+    rng = np.random.default_rng(8)
+    ref = "".join(rng.choice(list("ACGT"), 6000))
+    fm = FMIndex(ref)
+    # exact read → one full-length MEM at the right locus
+    p = 2500
+    mems = find_mems(fm, ref[p : p + 80], min_len=20)
+    assert mems and (mems[-1][0], mems[-1][1]) == (0, 80)
+    seeds = seed_positions(fm, ref[p : p + 80], min_len=20)
+    assert any(pos == p for _, pos in seeds)
+    # chimeric read → both loci seeded
+    p2 = 4800
+    read = ref[p : p + 50] + "T" + ref[p2 : p2 + 50]
+    seeds = seed_positions(fm, read, min_len=20)
+    assert any(abs(pos - p) <= 1 for _, pos in seeds)
+    assert any(abs(pos - p2) <= 1 for _, pos in seeds)
