@@ -65,10 +65,15 @@ def main(argv=None):
     p.add_argument("-o", "--output", default=None)
     p.add_argument("-s", "--similarity", type=float, default=0.95)
 
-    p = sub.add_parser("map", help="read mapping → SAM")
+    p = sub.add_parser("map", help="read mapping → SAM/BAM")
     p.add_argument("-r", "--reference", required=True)
     p.add_argument("-q", "--reads", required=True)
-    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-2", "--mates", default=None,
+                   help="mate-2 file → paired-end FR mapping")
+    p.add_argument("-o", "--output", required=True,
+                   help=".sam or .bam extension selects the format")
+    p.add_argument("--min-insert", type=int, default=0)
+    p.add_argument("--max-insert", type=int, default=500)
 
     args = ap.parse_args(argv)
 
@@ -128,20 +133,41 @@ def main(argv=None):
         print(f"cluster: {res.n_clusters}")
     elif args.cmd == "map":
         from genomics_tpu.models.mapper import ReadMapper
+        from genomics_tpu.utils import bamio, samio
         from genomics_tpu.utils.fasta import read_fasta, read_fastq
-        from genomics_tpu.utils.samio import write_sam
+
+        def _load(path):
+            if path.endswith((".fastq", ".fq")):
+                return read_fastq(path)
+            return read_fasta(path)
 
         ref = read_fasta(args.reference)[0]
-        if args.reads.endswith((".fastq", ".fq")):
-            reads = read_fastq(args.reads)
-        else:
-            reads = read_fasta(args.reads)
+        reads = _load(args.reads)
         mapper = ReadMapper(ref.seq)
-        maps = mapper.map_batch([r.seq for r in reads])
-        write_sam(args.output, ref.name.split()[0] or "ref", len(ref.seq),
-                  [(r.name.split()[0], r.seq, m) for r, m in zip(reads, maps)])
-        mapped = sum(m.pos >= 0 for m in maps)
-        print(f"mapped {mapped}/{len(reads)} → {args.output}")
+        rname = ref.name.split()[0] or "ref"
+        bam = args.output.endswith(".bam")
+        if args.mates:
+            mates = _load(args.mates)
+            pairs = mapper.map_pairs(
+                [r.seq for r in reads], [r.seq for r in mates],
+                min_insert=args.min_insert, max_insert=args.max_insert)
+            recs = [(r.name.split()[0], r.seq, a, s.seq, b)
+                    for r, s, (a, b) in zip(reads, mates, pairs)]
+            (bamio.write_bam_pairs if bam else samio.write_sam_pairs)(
+                args.output, rname, len(ref.seq), recs)
+            mapped = sum(a.pos >= 0 for a, _ in pairs) + sum(
+                b.pos >= 0 for _, b in pairs)
+            proper = sum(a.proper_pair for a, _ in pairs)
+            print(f"mapped {mapped}/{2 * len(pairs)} "
+                  f"({proper} proper pairs) → {args.output}")
+        else:
+            maps = mapper.map_batch([r.seq for r in reads])
+            recs = [(r.name.split()[0], r.seq, m)
+                    for r, m in zip(reads, maps)]
+            (bamio.write_bam if bam else samio.write_sam)(
+                args.output, rname, len(ref.seq), recs)
+            mapped = sum(m.pos >= 0 for m in maps)
+            print(f"mapped {mapped}/{len(reads)} → {args.output}")
     return 0
 
 
