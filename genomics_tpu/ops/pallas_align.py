@@ -66,27 +66,31 @@ def _cummax_rows(x):
     return x
 
 
-def _fscan_rows(g, seed, ge):
+def _fscan_rows(g, seed, ge, neg=NEG_BIG):
     """f[0] = seed; f[j] = max(g[j-1], f[j-1] - ge), along axis 0.
 
     Same max-plus scan as scan_align._fscan, on the [Lq, 128] layout."""
     Lq = g.shape[0]
+    cd = g.dtype
     rows = _row_iota(Lq)
-    c = g + (rows + 1) * ge
+    up_ramp = ((rows + 1) * ge).astype(cd)
+    down_ramp = (rows * ge).astype(cd)
+    c = g + up_ramp
     cm = _cummax_rows(c)
-    w = jnp.maximum(seed, _shift_down_rows(cm, jnp.full((), NEG_BIG, jnp.int32)))
-    return w - rows * ge
+    w = jnp.maximum(seed, _shift_down_rows(cm, jnp.full((), neg, cd)))
+    return w - down_ramp
 
 
-def _sub_scores_tile(q_tile, t_row, match, mismatch, n_penalty, global_macro):
-    """[Lq,128] codes vs [1,128] target base → [Lq,128] int32 scores."""
+def _sub_scores_tile(q_tile, t_row, match, mismatch, n_penalty, global_macro,
+                     cd=jnp.int32):
+    """[Lq,128] codes vs [1,128] target base → [Lq,128] `cd` scores."""
     eq = q_tile == t_row
-    s = jnp.where(eq, jnp.int32(match), jnp.int32(-mismatch))
+    s = jnp.where(eq, jnp.asarray(match, cd), jnp.asarray(-mismatch, cd))
     is_n = (q_tile == N4) | (t_row == N4)
     if n_penalty is not None:
-        s = jnp.where(is_n, jnp.int32(-n_penalty), s)
+        s = jnp.where(is_n, jnp.asarray(-n_penalty, cd), s)
     elif not global_macro:
-        s = jnp.where(is_n, jnp.int32(0), s)
+        s = jnp.where(is_n, jnp.asarray(0, cd), s)
     return s
 
 
@@ -108,40 +112,53 @@ def _pack_nibbles(nib, Lq):
 
 
 def _local_kernel(q_ref, t_ref, out_score, out_qend, out_tend, *rest, params,
-                  Lq, Lt, with_tb):
+                  Lq, Lt, with_tb, cd):
+    """`cd` = cell dtype (int32 today; int16 once Mosaic supports 16-bit
+    sublane rotates).  Best-cell tracking is GASAL2's strip-order
+    tie-break (local_kernel_template.h): per-step leftmost row max +
+    lexicographic merge — measured faster than an elementwise M/K carry
+    (fewer loop-carried tiles)."""
     if with_tb:
         (tb_ref,) = rest
-    goe = jnp.int32(params.gap_oe)
-    ge = jnp.int32(params.gap_extend)
+    neg = NEG_BIG if cd == jnp.int32 else -(1 << 12)
+    goe = jnp.asarray(params.gap_oe, cd)
+    ge = jnp.asarray(params.gap_extend, cd)
     q_tile = q_ref[...]
-    zero = jnp.zeros((Lq, LANES), jnp.int32)
-    seed0 = jnp.zeros((Lq, LANES), jnp.int32)
+    zero = jnp.zeros((Lq, LANES), cd)
+    seed0 = zero
     rows = _row_iota(Lq)
 
     def step(i, carry):
         H, E, best, bkey, tbacc = carry
-        t_row = t_ref[pl.ds(i, 1), :]
+        # target stays int32 in VMEM (dynamic sublane loads must be
+        # 32-bit aligned on Mosaic); cast the single row to `cd`
+        t_row = t_ref[pl.ds(i, 1), :].astype(cd)
         sub = _sub_scores_tile(
-            q_tile, t_row, params.match, params.mismatch, params.n_penalty, False
+            q_tile, t_row, params.match, params.mismatch, params.n_penalty,
+            False, cd
         )
-        tmp = _shift_down_rows(H, jnp.int32(0)) + sub
-        f_used = _fscan_rows(tmp - goe, seed0, ge)
-        h = jnp.maximum(jnp.maximum(tmp, f_used), jnp.maximum(E, 0))
+        tmp = _shift_down_rows(H, jnp.asarray(0, cd)) + sub
+        f_used = _fscan_rows(tmp - goe, seed0, ge, neg)
+        h = jnp.maximum(jnp.maximum(tmp, f_used),
+                        jnp.maximum(E, jnp.asarray(0, cd)))
         E_new = jnp.maximum(tmp - goe, E - ge)
         # strip-order argmax: leftmost row max, lexicographic merge
-        rh = jnp.max(h, axis=0, keepdims=True)
-        row_j = jnp.min(jnp.where(h == rh, rows, jnp.int32(1 << 28)), axis=0,
-                        keepdims=True)
+        rh = jnp.max(h, axis=0, keepdims=True).astype(jnp.int32)
+        row_j = jnp.min(jnp.where(h == rh.astype(cd), rows, jnp.int32(1 << 28)),
+                        axis=0, keepdims=True)
         rkey = ((i >> 3) * Lq + row_j) * 8 + (i & 7)
         take = (rh > best) | ((rh == best) & (rkey < bkey))
         best = jnp.where(take, rh, best)
         bkey = jnp.where(take, rkey, bkey)
         if with_tb:
-            m_or_x = jnp.where(sub >= 0, jnp.int32(0), jnp.int32(1))
+            one = jnp.asarray(1, jnp.int32)
+            zero32 = jnp.asarray(0, jnp.int32)
+            m_or_x = jnp.where(sub >= 0, zero32, one)
             d = jnp.where(h == tmp, m_or_x,
-                          jnp.where(h == f_used, jnp.int32(3), jnp.int32(2)))
-            f_ext = jnp.where((tmp - goe) > (f_used - ge), 0, 1)
-            e_ext = jnp.where((tmp - goe) > (E - ge), 0, 1)
+                          jnp.where(h == f_used, jnp.asarray(3, jnp.int32),
+                                    jnp.asarray(2, jnp.int32)))
+            f_ext = jnp.where((tmp - goe) > (f_used - ge), zero32, one)
+            e_ext = jnp.where((tmp - goe) > (E - ge), zero32, one)
             nib = d | (e_ext << 2) | (f_ext << 3)
             # pack 8 TARGET rows per int32 (bits 4*(i%8)..): accumulate
             # in VMEM, one HBM write per 8 steps — no per-step reshape
@@ -158,7 +175,7 @@ def _local_kernel(q_ref, t_ref, out_score, out_qend, out_tend, *rest, params,
         zero,
         jnp.zeros((1, LANES), jnp.int32),
         jnp.full((1, LANES), jnp.int32(jnp.iinfo(jnp.int32).max)),
-        zero,
+        jnp.zeros((Lq, LANES), jnp.int32),
     )
     H, E, best, bkey, _tb = jax.lax.fori_loop(0, Lt, step, init)
     cell = bkey >> 3
@@ -168,6 +185,137 @@ def _local_kernel(q_ref, t_ref, out_score, out_qend, out_tend, *rest, params,
     out_score[...] = best
     out_qend[...] = jnp.where(nz, qend, 0)
     out_tend[...] = jnp.where(nz, tend, 0)
+
+
+# ---------------------------------------------------------------------------
+# LOCAL kernel, inter-task layout (score-only fast path)
+# ---------------------------------------------------------------------------
+
+SUBS = 16  # sublane batch: 16 x 128 = 2048 alignments per grid program
+
+
+def _local_kernel_intertask(q_ref, t_ref, out_score, out_qend, out_tend,
+                            hcol_ref, ecol_ref, *, params, Lq, Lt):
+    """GASAL2's inter-task pattern (SURVEY §2.9: alignment-per-thread →
+    "vectorize the whole recurrence across a batch axis"), TPU-native:
+    every VPU slot of an [8, 128] tile is a DIFFERENT alignment, and the
+    DP is walked serially cell-by-cell in GASAL2's strip order (8-column
+    target strips, query-major inside a strip — local_kernel_template.h
+    tile walk).  No cross-sublane scan/roll/reduce at all: the F chain
+    (query gaps) is a register carried along j, the E chain (target
+    gaps) a register carried along the strip, columns of a strip are a
+    static unroll.  ~17 elementwise ops per DP cell at full 1024-slot
+    density vs ~50 slot-ops/cell for the scan-per-column layout.
+
+    Visit order == GASAL2 strip order, so the best-cell tie-break is a
+    strictly-greater elementwise compare (earliest key wins), and the
+    packed key decodes exactly like the scan kernel's."""
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    # iota-derived zeros: fori carries need a concrete (non-replicated-
+    # in-either-dim) layout or Mosaic rejects the loop-carry relayout
+    ij = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    )
+    zero = jnp.minimum(ij, 0)
+    nbig = zero + jnp.int32(NEG_BIG)
+
+    # H(j, -1) = 0 and E-state seed 0 for the first strip
+    hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
+    ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
+
+    def strip(ib, carry):
+        M, K = carry
+        t_strip = t_ref[pl.ds(ib * 8, 8), :, :]          # [8, SUBS, 128]
+        t_is_n = t_strip == N4
+
+        def row(j, rc):
+            # W[c] carries u(j) = max(tmp(j-1,c)-goe, u(j-1)-ge) directly
+            # (the merged F chain); u enters h unclamped — safe because
+            # h also maxes with 0 and u ≤ 0 whenever it would have been
+            # clamped.  h = max(tmp, u, e, 0) folds both clamps.
+            Hprev, W, diag0, M, K = rc
+            q_j = q_ref[pl.ds(j, 1), :, :][0]             # [SUBS, 128]
+            q_is_n = q_j == N4
+            hcol_j = hcol_ref[pl.ds(j, 1), :, :][0]
+            e_state = ecol_ref[pl.ds(j, 1), :, :][0]
+            h_new = []
+            w_new = []
+            for c in range(8):
+                t_c = t_strip[c]
+                eq = q_j == t_c
+                s = jnp.where(eq, jnp.int32(params.match),
+                              jnp.int32(-params.mismatch))
+                is_n = q_is_n | t_is_n[c]
+                if params.n_penalty is not None:
+                    s = jnp.where(is_n, jnp.int32(-params.n_penalty), s)
+                else:
+                    s = jnp.where(is_n, jnp.int32(0), s)
+                diag = diag0 if c == 0 else Hprev[c - 1]
+                tmp = diag + s
+                u = W[c]
+                h = jnp.maximum(jnp.maximum(tmp, u),
+                                jnp.maximum(e_state, 0))
+                key = ((ib * Lq + j) * 8 + c)
+                take = h > M
+                M = jnp.where(take, h, M)
+                K = jnp.where(take, key, K)
+                tmpg = tmp - goe
+                w_new.append(jnp.maximum(tmpg, u - ge))
+                e_state = jnp.maximum(tmpg, e_state - ge)
+                h_new.append(h)
+            hcol_ref[pl.ds(j, 1), :, :] = h_new[7][None]
+            ecol_ref[pl.ds(j, 1), :, :] = e_state[None]
+            return (h_new, w_new, hcol_j, M, K)
+
+        init = ([zero] * 8, [nbig] * 8, zero, M, K)
+        out = jax.lax.fori_loop(0, Lq, row, init)
+        return (out[3], out[4])
+
+    M, K = jax.lax.fori_loop(
+        0, Lt // 8, strip,
+        (zero, zero + jnp.int32(jnp.iinfo(jnp.int32).max)),
+    )
+    cell = K >> 3
+    qend = cell % Lq
+    tend = (cell // Lq) * 8 + (K & 7)
+    nz = M > 0
+    out_score[...] = M
+    out_qend[...] = jnp.where(nz, qend, 0)
+    out_tend[...] = jnp.where(nz, tend, 0)
+
+
+def _local_align_intertask(q, t, params):
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    Q3 = q.T.astype(jnp.int32).reshape(Lq, B // LANES, LANES)
+    T3 = t.T.astype(jnp.int32).reshape(Lt, B // LANES, LANES)
+    kernel = functools.partial(
+        _local_kernel_intertask, params=params, Lq=Lq, Lt=Lt
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=(B // (SUBS * LANES),),
+        in_specs=[
+            pl.BlockSpec((Lq, SUBS, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, SUBS, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B // LANES, LANES), jnp.int32)] * 3,
+        out_specs=[
+            pl.BlockSpec((SUBS, LANES), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(Q3, T3)
+    score, qend, tend = (r.reshape(B) for r in res)
+    return AlignResult(score, qend, tend, None)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "with_tb"))
@@ -182,8 +330,15 @@ def local_align_tpu(
     B, Lq = q.shape
     Lt = t.shape[1]
     assert B % LANES == 0 and Lq % 8 == 0
-    qT = q.T.astype(jnp.int32)   # [Lq, B]
-    tT = t.T.astype(jnp.int32)   # [Lt, B]
+    if not with_tb and B % (SUBS * LANES) == 0 and Lt % 8 == 0:
+        return _local_align_intertask(q, t, params)
+    # int16 cells would double VPU density, but the current Mosaic
+    # release rejects sub-32-bit sublane rotates ("Rotate with
+    # non-32-bit data"), which the H-shift and F-scan need — keep int32
+    # until the backend grows 16-bit rolls.
+    cd = jnp.int32
+    qT = q.T.astype(cd)   # [Lq, B]
+    tT = t.T.astype(jnp.int32)   # [Lt, B] — row-indexed dynamically, keep 32-bit
     ntiles = B // LANES
 
     out_shape = [
@@ -204,7 +359,7 @@ def local_align_tpu(
         )
 
     kernel = functools.partial(
-        _local_kernel, params=params, Lq=Lq, Lt=Lt, with_tb=with_tb
+        _local_kernel, params=params, Lq=Lq, Lt=Lt, with_tb=with_tb, cd=cd
     )
     res = pl.pallas_call(
         kernel,
