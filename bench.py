@@ -32,7 +32,7 @@ def main():
     params = AlignmentParams()
     rng = np.random.default_rng(0)
     B, Lq, Lt = 16384, 152, 152
-    CHAIN = 30
+    CHAIN = 100   # long chain amortizes the host<->device tunnel latency (~16ms/call here)
 
     q = jnp.asarray(rng.integers(0, 4, (B, Lq)) * 2 + 1, jnp.uint8)  # ACGT-ish codes
     t = jnp.asarray(rng.integers(0, 4, (B, Lt)) * 2 + 1, jnp.uint8)

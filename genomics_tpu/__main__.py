@@ -141,10 +141,15 @@ def main(argv=None):
                 return read_fastq(path)
             return read_fasta(path)
 
-        ref = read_fasta(args.reference)[0]
+        refs = read_fasta(args.reference)
         reads = _load(args.reads)
-        mapper = ReadMapper(ref.seq)
-        rname = ref.name.split()[0] or "ref"
+        contigs = [(r.name.split()[0] or f"ctg{i}", r.seq)
+                   for i, r in enumerate(refs)]
+        mapper = ReadMapper(contigs)
+        # single-contig callers keep the old header shape; multi-contig
+        # headers list every @SQ line
+        rname = (contigs[0][0] if len(contigs) == 1
+                 else [(n, len(s)) for n, s in contigs])
         bam = args.output.endswith(".bam")
         if args.mates:
             mates = _load(args.mates)
@@ -154,7 +159,7 @@ def main(argv=None):
             recs = [(r.name.split()[0], r.seq, a, s.seq, b)
                     for r, s, (a, b) in zip(reads, mates, pairs)]
             (bamio.write_bam_pairs if bam else samio.write_sam_pairs)(
-                args.output, rname, len(ref.seq), recs)
+                args.output, rname, len(contigs[0][1]), recs)
             mapped = sum(a.pos >= 0 for a, _ in pairs) + sum(
                 b.pos >= 0 for _, b in pairs)
             proper = sum(a.proper_pair for a, _ in pairs)
@@ -165,7 +170,7 @@ def main(argv=None):
             recs = [(r.name.split()[0], r.seq, m)
                     for r, m in zip(reads, maps)]
             (bamio.write_bam if bam else samio.write_sam)(
-                args.output, rname, len(ref.seq), recs)
+                args.output, rname, len(contigs[0][1]), recs)
             mapped = sum(m.pos >= 0 for m in maps)
             print(f"mapped {mapped}/{len(reads)} → {args.output}")
     return 0

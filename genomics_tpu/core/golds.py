@@ -480,6 +480,7 @@ def semiglobal_align(
     head: SemiGlobalSkip = SemiGlobalSkip.NONE,
     tail: SemiGlobalSkip = SemiGlobalSkip.NONE,
     second_best: bool = False,
+    with_start: bool = False,
 ):
     """gasal_semi_global_kernel emulation (semiglobal_kernel_template.h:40-230).
 
@@ -587,7 +588,133 @@ def semiglobal_align(
         out["score_second"] = maxHH_s
         out["query_end_second"] = maxXY_x_s
         out["target_end_second"] = maxXY_y_s
+    if with_start:
+        out.update(
+            _semiglobal_start_pass(
+                q, t, read_len, ref_len, tr, out, params, head, tail
+            )
+        )
     return out
+
+
+def _semiglobal_start_pass(q, t, read_len, ref_len, tr, fwd,
+                           params: AlignmentParams,
+                           head: SemiGlobalSkip, tail: SemiGlobalSkip):
+    """Semiglobal WITH_START reverse pass (semiglobal_kernel_template.h:
+    227-384): re-run the semiglobal DP on the PLAIN-REVERSED sequences
+    (full-length reversal into zero-initialized words — trailing code 0,
+    unlike the forward N-padding), starting at target word `gend_reg`,
+    with word-granularity early exit once the running max reaches the
+    forward score.  Reference quirks replicated:
+
+    - the penalized (non-free-target-head) row boundary counts rows from
+      the STARTING strip (`u`/`r` restart at 1, :307-318), while
+      maxXY_y records absolute reversed coordinates (gidx + m - 1);
+    - maxXY_x is NOT reset before the pass (:275-276 reset only
+      maxHH/maxXY_y) — for TAIL without QUERY the query start derives
+      from the forward query end;
+    - the TAIL-QUERY final scan (:361-377) reads global[] columns
+      m < read_len, which all live in the last strip processed, and
+      applies the `maxXY_x != ref_len` fixup verbatim;
+    - `gend_reg` clamped at 0 (the reference underflows into UB when the
+      forward maxXY_y quirk value read_len lands beyond the last word)."""
+    goe, ge = params.gap_oe, params.gap_extend
+    gapo = params.gap_open
+    head_q = head in (SemiGlobalSkip.QUERY, SemiGlobalSkip.BOTH)
+    head_t = head in (SemiGlobalSkip.TARGET, SemiGlobalSkip.BOTH)
+    tail_q = tail in (SemiGlobalSkip.QUERY, SemiGlobalSkip.BOTH)
+    tail_t = tail in (SemiGlobalSkip.TARGET, SemiGlobalSkip.BOTH)
+    Lq = len(q)
+    Lt = len(t)
+    qr = Lq // 8
+    # plain full-length reversal into zeroed words (:232-266)
+    rev_q = np.zeros(Lq, dtype=np.uint8)
+    rev_q[:read_len] = q[:read_len][::-1]
+    rev_t = np.zeros(Lt, dtype=np.uint8)
+    rev_t[:ref_len] = t[:ref_len][::-1]
+
+    gend_pos = fwd["target_end"]
+    fwd_score = fwd["score"]
+    a = tr - ((gend_pos >> 3) + 1)
+    gend_reg = (a - 1) if a > 0 else a
+    gend_reg = max(gend_reg, 0)
+
+    maxHH = MINUS_INF
+    maxXY_y = 0
+    maxXY_x = fwd["query_end"]
+
+    if head_q:
+        gH = np.zeros(Lq, dtype=np.int64)
+        gE = np.full(Lq, MINUS_INF, dtype=np.int64)
+    else:
+        gH = np.array([0] + [-(gapo + ge * i) for i in range(1, Lq)],
+                      dtype=np.int64)
+        gE = np.full(Lq, MINUS_INF, dtype=np.int64)
+
+    h = [0] * 9
+    f = [0] * 9
+    p = [0] * 9
+    u = 1
+    r = 1
+
+    i = gend_reg
+    while i < tr and maxHH < fwd_score:
+        gidx = i << 3
+        if head_t:
+            for m in range(9):
+                h[m] = 0
+                f[m] = MINUS_INF
+                p[m] = 0
+        else:
+            for m in range(1, 9):
+                h[m] = -(gapo + ge * (u - 1))
+                f[m] = MINUS_INF
+                p[m] = 0 if r == 1 else -(gapo + ge * (r - 1))
+                u += 1
+                r += 1
+        ridx = 0
+        j = 0
+        while j < qr and maxHH < fwd_score:
+            for kk in range(8):
+                rbase = int(rev_q[j * 8 + kk])
+                h[0] = int(gH[ridx])
+                e = int(gE[ridx])
+                prev_hm_diff = h[0] - goe
+                for m in range(1, 9):
+                    gbase = int(rev_t[gidx + m - 1])
+                    sub = _sub_score_local(rbase, gbase, params)
+                    curr_hm_diff = h[m] - goe
+                    f[m] = max(curr_hm_diff, f[m] - ge)
+                    curr_hm_diff = p[m] + sub
+                    curr_hm_diff = max(curr_hm_diff, f[m])
+                    e = max(prev_hm_diff, e - ge)
+                    curr_hm_diff = max(curr_hm_diff, e)
+                    h[m] = curr_hm_diff
+                    p[m] = prev_hm_diff + goe
+                    prev_hm_diff = curr_hm_diff - goe
+                gH[ridx] = h[8]
+                gE[ridx] = e
+                ridx += 1
+                if tail_t and ridx == read_len:
+                    for m in range(1, 9):
+                        if h[m] > maxHH and (gidx + m - 1) < ref_len:
+                            maxXY_y = gidx + (m - 1)
+                            maxHH = h[m]
+            j += 1
+        i += 1
+
+    if tail_q:
+        for m in range(Lq):
+            score_tmp = int(gH[m])
+            if score_tmp > maxHH and m < read_len:
+                maxXY_x = m
+                maxHH = score_tmp
+        if maxXY_x != ref_len:
+            maxXY_y = read_len
+    return {
+        "target_start": (ref_len - 1) - maxXY_y,
+        "query_start": (read_len - 1) - maxXY_x,
+    }
 
 
 # ---------------------------------------------------------------------------

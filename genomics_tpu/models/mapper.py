@@ -1,34 +1,42 @@
 """Read mapper — the nvBowtie-class pipeline (reference:
 CDP/NvB/nvBowtie/bowtie2/cuda: seeding (mapping.cu) → locate → score
-(score.cu, ungapped/gapped DP) → reduce/mapq (reduce.cu); paired-end
-opposite-mate scoring in score.cu / pipeline in nvBowtie driver).
+(score.cu, ungapped/gapped DP) → reduce/mapq (reduce.cu, mapq.h);
+paired-end opposite-mate scoring in score.cu / pipeline driver).
 
 TPU-native composition of framework pieces:
-  1. seed: q-gram index lookups at fixed intervals (index/qgram) on
-     BOTH strands (forward read + reverse complement),
+  1. seed: q-gram index lookups at fixed intervals (index/qgram) or
+     FM-index MEM seeds (index/fmindex, the nvmem/nvBowtie seeding path)
+     on BOTH strands (forward read + reverse complement),
   2. locate: diagonal voting over seed hits (host numpy — tiny),
   3. score: ALL candidate windows across ALL reads and strands extended
      in ONE batched local-alignment dispatch with traceback
      (runtime.AlignEngine → Pallas on TPU),
   4. reduce: best / second-best per read → position, strand, CIGAR and
-     a bowtie2-flavoured mapq from the score gap.
+     nvBowtie's BowtieMapq2 quality (models/mapq.py ← mapq.h:146-330),
+     with `all` / best-N reporting modes (reduce.cu's reporting policy).
+
+Multi-contig references: contigs are concatenated for indexing; seed
+votes and alignment windows are clipped to the owning contig, and
+reported positions are (contig name, 1-based local offset).
 
 Paired-end (map_pairs): both mates are seeded/scored in the same single
-batched dispatch; pairing scans mate1 × mate2 candidate combinations
-for the bowtie2 default FR orientation with the fragment length inside
-[min_insert, max_insert], maximizing the pair score sum (nvBowtie's
-opposite-mate DP window is the same insert-window constraint).
-Concordant pairs set the SAM proper-pair flag; otherwise each mate
-falls back to its best single-end alignment (discordant/unpaired).
+batched dispatch; pairing evaluates the mate1 × mate2 candidate matrix
+VECTORIZED over numpy arrays for the bowtie2 default FR orientation
+with fragment length inside [min_insert, max_insert], maximizing the
+pair score sum (nvBowtie's opposite-mate DP window is the same
+insert-window constraint).  Concordant pairs set the SAM proper-pair
+flag; otherwise each mate falls back to its best single-end alignment.
 """
 from __future__ import annotations
 
 import dataclasses
+from typing import Sequence
 
 import numpy as np
 
 from genomics_tpu.core.scoring import AlignmentParams
 from genomics_tpu.index.qgram import QGramIndex, encode2, qgrams_of
+from genomics_tpu.models.mapq import MapqScheme, bowtie_mapq2
 from genomics_tpu.runtime.dispatch import AlignEngine
 
 _RC = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
@@ -40,7 +48,7 @@ def revcomp(seq: str) -> str:
 
 @dataclasses.dataclass
 class Mapping:
-    pos: int              # 0-based reference position (-1 = unmapped)
+    pos: int              # 1-based position within `contig` (-1 = unmapped)
     score: int
     mapq: int
     cigar_string: str
@@ -49,11 +57,12 @@ class Mapping:
     ref_span: int = 0          # reference bases consumed (for TLEN)
     proper_pair: bool = False
     pair_score: int = 0
+    contig: str | None = None   # None → SAM writer falls back to its ref_name
 
 
 @dataclasses.dataclass
 class _Candidate:
-    pos: int               # 0-based leftmost reference position
+    pos: int               # 0-based leftmost GLOBAL reference position
     score: int
     cigar: str
     reverse: bool
@@ -76,29 +85,69 @@ def _cigar_ref_span(cigar: str) -> int:
 class ReadMapper:
     def __init__(
         self,
-        reference: str,
+        reference: str | Sequence[tuple[str, str]],
         seed_len: int = 16,
         seed_interval: int = 12,
         max_hits_per_seed: int = 32,
         max_candidates: int = 4,
         band: int = 16,
         params: AlignmentParams | None = None,
+        seeder: str = "qgram",          # "qgram" | "fm"
+        mem_min_len: int = 19,
     ):
-        self.reference = reference
-        self.ref_codes = encode2(reference)
-        self.index = QGramIndex(reference, q=seed_len)
+        if isinstance(reference, str):
+            contigs = [("ref", reference)]
+        else:
+            contigs = [(n, s) for n, s in reference]
+        self.contig_names = [n for n, _ in contigs]
+        self.contig_seqs = [s for _, s in contigs]
+        self.contig_starts = np.cumsum(
+            [0] + [len(s) for s in self.contig_seqs[:-1]]
+        ).astype(np.int64)
+        self.contig_ends = self.contig_starts + np.array(
+            [len(s) for s in self.contig_seqs], np.int64
+        )
+        self.reference = "".join(self.contig_seqs)
+        self.ref_codes = encode2(self.reference)
         self.seed_len = seed_len
         self.seed_interval = seed_interval
         self.max_hits = max_hits_per_seed
         self.max_candidates = max_candidates
         self.band = band
+        self.mem_min_len = mem_min_len
+        self.seeder = seeder
+        if seeder == "fm":
+            from genomics_tpu.index.fmindex import FMIndex
+
+            self.fm = FMIndex(self.reference)
+            self.index = None
+        else:
+            self.fm = None
+            self.index = QGramIndex(self.reference, q=seed_len)
         self.params = params or AlignmentParams(
             match=2, mismatch=6, gap_open=5, gap_extend=3
         )
+        self.mapq_scheme = MapqScheme(match=self.params.match, monotone=False)
         self.engine = AlignEngine(self.params, with_tb=True)
 
-    def _diagonals(self, read_codes: np.ndarray) -> list[int]:
-        """Seed + vote → candidate window start diagonals."""
+    # -- position bookkeeping --------------------------------------------
+
+    def contig_of(self, gpos: int) -> tuple[int, int]:
+        """Global 0-based position → (contig index, local 0-based)."""
+        ci = int(np.searchsorted(self.contig_starts, gpos, "right")) - 1
+        return ci, gpos - int(self.contig_starts[ci])
+
+    # -- seeding -----------------------------------------------------------
+
+    def _seed_hits(self, read_codes: np.ndarray) -> list[tuple[int, int]]:
+        """(read_offset, global ref position) seed pairs."""
+        if self.seeder == "fm":
+            from genomics_tpu.index.fmindex import seed_positions
+
+            return seed_positions(
+                self.fm, read_codes, min_len=self.mem_min_len,
+                max_hits=self.max_hits,
+            )
         L = len(read_codes)
         q = self.seed_len
         offs = list(range(0, max(L - q, 0) + 1, self.seed_interval))
@@ -109,14 +158,19 @@ class ReadMapper:
             kg = qgrams_of(read_codes[o : o + q], q)
             keys.append(kg[0] if len(kg) else (1 << (2 * q)))
         hits, _ = self.index.hits(np.array(keys, np.int64), self.max_hits)
-        diags = []
+        out = []
         for o, row in zip(offs, hits):
             for h in row:
                 if h >= 0:
-                    diags.append(int(h) - o)
-        if not diags:
+                    out.append((o, int(h)))
+        return out
+
+    def _diagonals(self, read_codes: np.ndarray) -> list[int]:
+        """Seed + vote → candidate window start diagonals (global)."""
+        pairs = self._seed_hits(read_codes)
+        if not pairs:
             return []
-        diags = np.array(diags)
+        diags = np.array([p - o for o, p in pairs])
         # vote: group diagonals within the band
         binned = diags // max(self.band, 1)
         uniq, counts = np.unique(binned, return_counts=True)
@@ -126,6 +180,8 @@ class ReadMapper:
             members = diags[binned == b]
             out.append(int(np.median(members)))
         return out
+
+    # -- scoring -----------------------------------------------------------
 
     def _score_candidates(
         self, reads: list[str], both_strands: bool = True
@@ -140,8 +196,14 @@ class ReadMapper:
             for seq, rev in variants:
                 rc = encode2(seq)
                 for diag in self._diagonals(rc):
-                    s = max(0, diag - self.band)
-                    e = min(len(self.reference), diag + len(seq) + self.band)
+                    # clip the window to the owning contig — alignments
+                    # never straddle contigs
+                    ci, _ = self.contig_of(min(max(diag, 0),
+                                               len(self.reference) - 1))
+                    c_lo = int(self.contig_starts[ci])
+                    c_hi = int(self.contig_ends[ci])
+                    s = max(c_lo, diag - self.band)
+                    e = min(c_hi, diag + len(seq) + self.band)
                     if e <= s:
                         continue
                     q_list.append(seq)
@@ -176,30 +238,61 @@ class ReadMapper:
             lst[:] = uniq
         return cands
 
+    # -- reduce ------------------------------------------------------------
+
+    def _to_mapping(self, c: _Candidate, mapq: int, second: int) -> Mapping:
+        ci, local = self.contig_of(c.pos)
+        return Mapping(
+            pos=local + 1,
+            score=c.score,
+            mapq=mapq,
+            cigar_string=c.cigar,
+            reverse=c.reverse,
+            second_score=second,
+            ref_span=c.ref_span,
+            contig=self.contig_names[ci],
+        )
+
     def _reduce(self, read: str, cands: list[_Candidate]) -> Mapping:
-        """bowtie2-flavoured best/second-best → mapq (reduce.cu analog)."""
+        """best/second-best → BowtieMapq2 (reduce.cu + mapq.h analog)."""
         if not cands:
             return Mapping(-1, 0, 0, "")
-        best, second = cands[0], cands[1].score if len(cands) > 1 else 0
-        m = Mapping(
-            pos=best.pos + 1,
-            score=best.score,
-            mapq=0,
-            cigar_string=best.cigar,
-            reverse=best.reverse,
-            second_score=second,
-            ref_span=best.ref_span,
-        )
-        top = self.params.match * len(read)
-        gap = (m.score - second) / max(top, 1)
-        m.mapq = int(min(42, 42 * gap + (2 if second == 0 else 0)))
-        return m
+        best = cands[0]
+        second = cands[1].score if len(cands) > 1 else None
+        mq = bowtie_mapq2(best.score, second, len(read), self.mapq_scheme)
+        return self._to_mapping(best, mq, second or 0)
 
     def map_batch(
-        self, reads: list[str], both_strands: bool = True
-    ) -> list[Mapping]:
+        self,
+        reads: list[str],
+        both_strands: bool = True,
+        report: str | int = "best",
+    ) -> list:
+        """report='best' → one Mapping per read (default); report='all'
+        or an int N → list of Mappings per read, best-first (nvBowtie's
+        all / best-N reporting, reduce.cu)."""
         cands = self._score_candidates(reads, both_strands)
-        return [self._reduce(r, c) for r, c in zip(reads, cands)]
+        if report == "best":
+            return [self._reduce(r, c) for r, c in zip(reads, cands)]
+        out = []
+        for r, lst in zip(reads, cands):
+            n = len(lst) if report == "all" else min(int(report), len(lst))
+            second = lst[1].score if len(lst) > 1 else None
+            mq = (
+                bowtie_mapq2(lst[0].score, second, len(r), self.mapq_scheme)
+                if lst
+                else 0
+            )
+            row = []
+            for k in range(n):
+                # secondary alignments get mapq 0 by SAM convention
+                row.append(
+                    self._to_mapping(lst[k], mq if k == 0 else 0, second or 0)
+                )
+            out.append(row)
+        return out
+
+    # -- paired-end ----------------------------------------------------------
 
     def map_pairs(
         self,
@@ -210,7 +303,8 @@ class ReadMapper:
     ) -> list[tuple[Mapping, Mapping]]:
         """Paired-end mapping, bowtie2 default FR orientation: the
         upstream mate maps forward, the downstream mate reverse, with
-        fragment length (outer distance) in [min_insert, max_insert]."""
+        fragment length (outer distance) in [min_insert, max_insert].
+        The candidate×candidate evaluation is vectorized (numpy)."""
         assert len(reads1) == len(reads2)
         n = len(reads1)
         cands_all = self._score_candidates(list(reads1) + list(reads2))
@@ -218,37 +312,57 @@ class ReadMapper:
         for i in range(n):
             c1, c2 = cands_all[i], cands_all[n + i]
             best_pair, best_sum, second_sum = None, 0, 0
-            for a in c1:
-                for b in c2:
-                    # FR: forward mate strictly upstream of reverse mate
-                    if a.reverse == b.reverse:
-                        continue
-                    fwd, rev = (a, b) if not a.reverse else (b, a)
-                    frag = (rev.pos + rev.ref_span) - fwd.pos
-                    if frag < max(min_insert, 1) or frag > max_insert:
-                        continue
-                    s = a.score + b.score
-                    if s > best_sum:
-                        second_sum = best_sum
-                        best_sum, best_pair = s, (a, b)
-                    elif s > second_sum:
-                        second_sum = s
+            if c1 and c2:
+                pos1 = np.array([c.pos for c in c1])
+                rev1 = np.array([c.reverse for c in c1])
+                span1 = np.array([c.ref_span for c in c1])
+                sc1 = np.array([c.score for c in c1])
+                pos2 = np.array([c.pos for c in c2])
+                rev2 = np.array([c.reverse for c in c2])
+                span2 = np.array([c.ref_span for c in c2])
+                sc2 = np.array([c.score for c in c2])
+                # FR: opposite strands; fragment = reverse-mate end -
+                # forward-mate start, within the insert window
+                opp = rev1[:, None] != rev2[None, :]
+                fwd_pos = np.where(rev1[:, None], pos2[None, :], pos1[:, None])
+                rev_end = np.where(
+                    rev1[:, None],
+                    pos1[:, None] + span1[:, None],
+                    pos2[None, :] + span2[None, :],
+                )
+                frag = rev_end - fwd_pos
+                ok = opp & (frag >= max(min_insert, 1)) & (frag <= max_insert)
+                sums = np.where(ok, sc1[:, None] + sc2[None, :], 0)
+                if sums.max() > 0:
+                    a_i, b_i = np.unravel_index(np.argmax(sums), sums.shape)
+                    best_sum = int(sums[a_i, b_i])
+                    best_pair = (c1[a_i], c2[b_i])
+                    sums[a_i, b_i] = 0
+                    second_sum = int(sums.max())
             m1 = self._reduce(reads1[i], c1)
             m2 = self._reduce(reads2[i], c2)
             if best_pair is not None:
                 a, b = best_pair
                 for m, c in ((m1, a), (m2, b)):
-                    m.pos = c.pos + 1
+                    ci, local = self.contig_of(c.pos)
+                    m.contig = self.contig_names[ci]
+                    m.pos = local + 1
                     m.score = c.score
                     m.cigar_string = c.cigar
                     m.reverse = c.reverse
                     m.ref_span = c.ref_span
                     m.proper_pair = True
                     m.pair_score = best_sum
-                # pair-level mapq from the pair score gap
-                top = self.params.match * (len(reads1[i]) + len(reads2[i]))
-                gap = (best_sum - second_sum) / max(top, 1)
-                mq = int(min(42, 42 * gap + (2 if second_sum == 0 else 0)))
+                # pair-level mapq: nvBowtie's paired path (mapq.h) feeds
+                # the summed scores with paired=True
+                mq = bowtie_mapq2(
+                    best_sum,
+                    second_sum if second_sum > 0 else None,
+                    len(reads1[i]),
+                    self.mapq_scheme,
+                    paired=True,
+                    o_read_len=len(reads2[i]),
+                )
                 m1.mapq = max(m1.mapq, mq)
                 m2.mapq = max(m2.mapq, mq)
             out.append((m1, m2))

@@ -31,6 +31,7 @@ Reference quirks replicated:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -86,8 +87,7 @@ def _prepare(seqs: list[str]):
 def _round_step_factory(similarity: float, W: int, Lq: int):
     sim = float(similarity)
 
-    @jax.jit
-    def round_step(cluster, rep, words, net, low, high, codes):
+    def round_body(cluster, rep, words, net, low, high, codes):
         """One greedy round: filter + banded LCS vs representative `rep`
         for every unclustered read; returns the updated cluster array."""
         N = cluster.shape[0]
@@ -173,7 +173,30 @@ def _round_step_factory(similarity: float, W: int, Lq: int):
         accept = jobs & (matched >= cutoff)
         return jnp.where(accept, rep, cluster)
 
-    return round_step
+    round_step = jax.jit(round_body)
+
+    @functools.partial(jax.jit, static_argnames=("k_rounds",))
+    def rounds_step(cluster, words, net, low, high, codes, k_rounds: int):
+        """Up to k_rounds greedy rounds in ONE dispatch: representative
+        selection (global argmin over unclustered = first -1 in the
+        sorted order — the reference's Gather+min+Bcast, func.cu:306-318)
+        is folded into the jitted loop, so the host syncs once per
+        k_rounds instead of once per representative."""
+
+        def cond(state):
+            i, cluster = state
+            return (i < k_rounds) & jnp.any(cluster == -1)
+
+        def body(state):
+            i, cluster = state
+            rep = jnp.argmax(cluster == -1).astype(jnp.int32)
+            cluster = round_body(cluster, rep, words, net, low, high, codes)
+            return (i + 1, cluster)
+
+        _, cluster = jax.lax.while_loop(cond, body, (jnp.int32(0), cluster))
+        return cluster
+
+    return round_step, rounds_step
 
 
 @dataclasses.dataclass
@@ -208,22 +231,23 @@ def cluster_distributed(
         sh = NamedSharding(mesh, P("data"))
         arrays = [jax.device_put(a, sh) for a in arrays]
     words_d, net_d, low_d, high_d, codes_d = arrays
-    step = _round_step_factory(similarity, W, Lq)
+    _, rounds = _round_step_factory(similarity, W, Lq)
 
     cluster = jnp.full((N,), -1, jnp.int32)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         cluster = jax.device_put(cluster, NamedSharding(mesh, P("data")))
+    # one device<->host sync per k_rounds representatives (the reference
+    # pays a Gather + 2 Bcast per representative; here rep-selection is
+    # in-graph and only the "anything left?" check reaches the host)
+    k_rounds = 32
     while True:
-        c_host = np.asarray(cluster)
-        rem = np.nonzero(c_host == -1)[0]
-        if len(rem) == 0:
-            break
-        rep = int(rem[0])   # global min id == first unclustered (sorted)
-        cluster = step(
-            cluster, jnp.int32(rep), words_d, net_d, low_d, high_d, codes_d
+        cluster = rounds(
+            cluster, words_d, net_d, low_d, high_d, codes_d, k_rounds=k_rounds
         )
+        if not bool(jnp.any(cluster == -1)):
+            break
     c_host = np.asarray(cluster)
     n = int((c_host == np.arange(N)).sum())
     return NgiaResult(cluster=c_host, order=order, n_clusters=n)

@@ -225,17 +225,21 @@ def _local_kernel_intertask(q_ref, t_ref, out_score, out_qend, out_tend,
     hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
     ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
 
+    # rows per fori iteration: the row body is latency-bound (serial
+    # E-chain + VMEM column loads), so unrolling independent-ish rows
+    # fills the pipeline — measured +16% at 8 on v5e (plateau by 19)
+    UNROLL = 8 if Lq % 8 == 0 else (4 if Lq % 4 == 0 else 1)
+
     def strip(ib, carry):
         M, K = carry
         t_strip = t_ref[pl.ds(ib * 8, 8), :, :]          # [8, SUBS, 128]
         t_is_n = t_strip == N4
 
-        def row(j, rc):
+        def do_row(j, Hprev, W, diag0, M, K):
             # W[c] carries u(j) = max(tmp(j-1,c)-goe, u(j-1)-ge) directly
             # (the merged F chain); u enters h unclamped — safe because
             # h also maxes with 0 and u ≤ 0 whenever it would have been
             # clamped.  h = max(tmp, u, e, 0) folds both clamps.
-            Hprev, W, diag0, M, K = rc
             q_j = q_ref[pl.ds(j, 1), :, :][0]             # [SUBS, 128]
             q_is_n = q_j == N4
             hcol_j = hcol_ref[pl.ds(j, 1), :, :][0]
@@ -269,8 +273,15 @@ def _local_kernel_intertask(q_ref, t_ref, out_score, out_qend, out_tend,
             ecol_ref[pl.ds(j, 1), :, :] = e_state[None]
             return (h_new, w_new, hcol_j, M, K)
 
+        def row(j, rc):
+            Hprev, W, diag0, M, K = rc
+            jj = j * UNROLL
+            for u_i in range(UNROLL):
+                Hprev, W, diag0, M, K = do_row(jj + u_i, Hprev, W, diag0, M, K)
+            return (Hprev, W, diag0, M, K)
+
         init = ([zero] * 8, [nbig] * 8, zero, M, K)
-        out = jax.lax.fori_loop(0, Lq, row, init)
+        out = jax.lax.fori_loop(0, Lq // UNROLL, row, init)
         return (out[3], out[4])
 
     M, K = jax.lax.fori_loop(
@@ -286,14 +297,117 @@ def _local_kernel_intertask(q_ref, t_ref, out_score, out_qend, out_tend,
     out_tend[...] = jnp.where(nz, tend, 0)
 
 
+def _local_kernel_intertask16(q_ref, t_ref, out_score, out_qend, out_tend,
+                              hcol_ref, ecol_ref, *, params, Lq, Lt):
+    """int16-cell variant of the inter-task kernel: the walk uses NO
+    sublane rotates (the Mosaic limitation that pins the scan-per-column
+    kernel to int32), so every DP quantity can live in packed int16 —
+    2x VPU density.  Only the visit-key carry K stays int32 (keys exceed
+    16 bits); its guarded update is the single full-width op per cell.
+
+    Value-range safety: h is clamped at 0, so tmp >= -mismatch and the
+    merged F/E chains floor at -(mismatch+gap_oe) after their first
+    refresh — no drift toward int16 min.  Scores fit iff
+    Lq*match < 32767 (checked by the dispatcher)."""
+    goe = jnp.int16(params.gap_oe)
+    ge = jnp.int16(params.gap_extend)
+    ij = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    )
+    zero32 = jnp.minimum(ij, 0)
+    zero = zero32.astype(jnp.int16)
+    nbig = zero + jnp.int16(-(1 << 12))
+
+    hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int16)
+    ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int16)
+
+    def strip(ib, carry):
+        M, K = carry
+        t_strip = t_ref[pl.ds(ib * 8, 8), :, :]          # [8, SUBS, 128] i32
+        t16 = t_strip.astype(jnp.int16)
+        t_is_n = t16 == jnp.int16(N4)
+
+        def row(j, rc):
+            Hprev, W, diag0, M, K = rc
+            q_j = q_ref[pl.ds(j, 1), :, :][0].astype(jnp.int16)
+            q_is_n = q_j == jnp.int16(N4)
+            hcol_j = hcol_ref[pl.ds(j, 1), :, :][0]
+            e_state = ecol_ref[pl.ds(j, 1), :, :][0]
+            h_new = []
+            w_new = []
+            for c in range(8):
+                t_c = t16[c]
+                eq = q_j == t_c
+                s = jnp.where(eq, jnp.int16(params.match),
+                              jnp.int16(-params.mismatch))
+                is_n = q_is_n | t_is_n[c]
+                if params.n_penalty is not None:
+                    s = jnp.where(is_n, jnp.int16(-params.n_penalty), s)
+                else:
+                    s = jnp.where(is_n, jnp.int16(0), s)
+                diag = diag0 if c == 0 else Hprev[c - 1]
+                tmp = diag + s
+                u = W[c]
+                h = jnp.maximum(jnp.maximum(tmp, u),
+                                jnp.maximum(e_state, jnp.int16(0)))
+                key = ((ib * Lq + j) * 8 + c)
+                take = h > M
+                M = jnp.where(take, h, M)
+                K = jnp.where(take, key, K)
+                tmpg = tmp - goe
+                w_new.append(jnp.maximum(tmpg, u - ge))
+                e_state = jnp.maximum(tmpg, e_state - ge)
+                h_new.append(h)
+            hcol_ref[pl.ds(j, 1), :, :] = h_new[7][None]
+            ecol_ref[pl.ds(j, 1), :, :] = e_state[None]
+            return (h_new, w_new, hcol_j, M, K)
+
+        init = ([zero] * 8, [nbig] * 8, zero, M, K)
+        out = jax.lax.fori_loop(0, Lq, row, init)
+        return (out[3], out[4])
+
+    M, K = jax.lax.fori_loop(
+        0, Lt // 8, strip,
+        (zero, zero32 + jnp.int32(jnp.iinfo(jnp.int32).max)),
+    )
+    cell = K >> 3
+    qend = cell % Lq
+    tend = (cell // Lq) * 8 + (K & 7)
+    M32 = M.astype(jnp.int32)
+    nz = M32 > 0
+    out_score[...] = M32
+    out_qend[...] = jnp.where(nz, qend, 0)
+    out_tend[...] = jnp.where(nz, tend, 0)
+
+
 def _local_align_intertask(q, t, params):
     B, Lq = q.shape
     Lt = t.shape[1]
     Q3 = q.T.astype(jnp.int32).reshape(Lq, B // LANES, LANES)
     T3 = t.T.astype(jnp.int32).reshape(Lt, B // LANES, LANES)
-    kernel = functools.partial(
-        _local_kernel_intertask, params=params, Lq=Lq, Lt=Lt
+    # int16 cells would give 2x VPU density wherever the best possible
+    # score fits, and the inter-task walk needs no sublane rotates — but
+    # v5e Mosaic also lacks packed-i16 COMPARES ("Target does not support
+    # this comparison" on vector<8x128x2xi16> cmpi), which the
+    # substitution/max/argmax logic is made of.  The kernel above is kept
+    # for targets with full i16 VPU support; opt in via env.
+    import os
+
+    use16 = (
+        os.environ.get("GENOMICS_TPU_INT16_CELLS") == "1"
+        and Lq * params.match < (1 << 15) - 1
     )
+    if use16:
+        kernel = functools.partial(
+            _local_kernel_intertask16, params=params, Lq=Lq, Lt=Lt
+        )
+        cell_dt = jnp.int16
+    else:
+        kernel = functools.partial(
+            _local_kernel_intertask, params=params, Lq=Lq, Lt=Lt
+        )
+        cell_dt = jnp.int32
     res = pl.pallas_call(
         kernel,
         grid=(B // (SUBS * LANES),),
@@ -309,8 +423,8 @@ def _local_align_intertask(q, t, params):
                          memory_space=pltpu.VMEM)
         ] * 3,
         scratch_shapes=[
-            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
-            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((Lq, SUBS, LANES), cell_dt),
+            pltpu.VMEM((Lq, SUBS, LANES), cell_dt),
         ],
         interpret=_interpret(),
     )(Q3, T3)

@@ -266,3 +266,165 @@ def local_align_with_start(q_np, t_np, qlen, tlen, params: AlignmentParams):
     qstart = np.where(z, 0, qstart)
     tstart = np.where(z, 0, tstart)
     return score, qend, tend, qstart.astype(np.int32), tstart.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# SEMIGLOBAL WITH_START (semiglobal_kernel_template.h:227-384)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("params", "head_q", "head_t",
+                                             "tail_q", "tail_t"))
+def _semiglobal_start_core(
+    rev_q,        # [B, Lq] reversed query codes (trailing code 0)
+    rev_t,        # [B, Lt] reversed target SUFFIX from strip gend_reg
+    qlen,         # [B] read_len
+    tlen,         # [B] ref_len
+    row_off,      # [B] 8*gend_reg (absolute reversed row of suffix row 0)
+    row_count,    # [B] 8*(tr - gend_reg) valid suffix rows
+    fwd_score,    # [B]
+    fwd_qend,     # [B] forward maxXY_x (NOT reset by the reference)
+    params: AlignmentParams,
+    head_q: bool, head_t: bool, tail_q: bool, tail_t: bool,
+):
+    """Reverse semiglobal DP with the reference's word-granularity early
+    exit, emulated exactly at strip granularity (the only in-loop update
+    site is the column read_len-1, so the triggering strip processes all
+    its rows and no later strip runs — see golds._semiglobal_start_pass
+    for the loop-level transcription this is tested against)."""
+    from genomics_tpu.ops.scan_align import MINUS_INF
+
+    B, Lq = rev_q.shape
+    Lt = rev_t.shape[1]
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    gapo = jnp.int32(params.gap_open)
+    j_idx = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    qlen = jnp.asarray(qlen, jnp.int32)
+    tlen = jnp.asarray(tlen, jnp.int32)
+
+    if head_q:
+        H0 = jnp.zeros((B, Lq), jnp.int32)
+    else:
+        H0 = jnp.broadcast_to(
+            jnp.where(j_idx == 0, 0, -(gapo + ge * j_idx)), (B, Lq)
+        ).astype(jnp.int32)
+    E0 = jnp.full((B, Lq), MINUS_INF, jnp.int32)
+
+    # while-condition at strip 0: maxHH(=MINUS_INF) < fwd_score
+    allow0 = jnp.int32(MINUS_INF) < fwd_score
+
+    def row(carry, ti):
+        H_prev, E, mHH, y, allow, Hsnap = carry
+        r, tbase = ti
+        sub = _sub_scores(rev_q, tbase, params, global_macro=False)
+        if head_t:
+            diag0 = jnp.int32(0)
+            left0 = jnp.int32(0)
+        else:
+            # penalized boundary counts rows RELATIVE to the start strip
+            # (the u/r counters restart at the suffix, :307-318)
+            diag0 = jnp.where(r == 0, jnp.int32(0), -(gapo + ge * r))
+            left0 = -(gapo + ge * r)
+        tmp = _shift_right(H_prev, diag0) + sub
+        E_used = jnp.maximum(H_prev - goe, E - ge)
+        g = jnp.maximum(tmp, E_used) - goe
+        fseed = jnp.maximum(left0 - goe, jnp.int32(MINUS_INF) - ge)
+        fseed = jnp.broadcast_to(fseed, (B,)).astype(jnp.int32)
+        f_used = _fscan(g, fseed, ge)
+        h = jnp.maximum(jnp.maximum(tmp, f_used), E_used)
+        live = allow & (r < row_count)
+        H_new = jnp.where(live[:, None], h, H_prev)
+        E_new = jnp.where(live[:, None], E_used, E)
+        row_abs = r + row_off
+        if tail_t:
+            lastq = jnp.take_along_axis(h, (qlen - 1)[:, None], axis=1)[:, 0]
+            upd = live & (row_abs < tlen) & (lastq > mHH)
+            mHH = jnp.where(upd, lastq, mHH)
+            y = jnp.where(upd, row_abs, y)
+        strip_end = (r & 7) == 7
+        Hsnap = jnp.where((strip_end & live)[:, None], H_new, Hsnap)
+        # i-loop condition for the NEXT strip: maxHH < fwd_score
+        allow = jnp.where(strip_end, allow & (mHH < fwd_score), allow)
+        return (H_new, E_new, mHH, y, allow, Hsnap), None
+
+    init = (
+        H0, E0,
+        jnp.full((B,), MINUS_INF, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        allow0,
+        H0,            # zero strips processed → the reference scans init gH
+    )
+    (H, E, mHH, y, allow, Hsnap), _ = jax.lax.scan(
+        row, init, (jnp.arange(Lt, dtype=jnp.int32), jnp.transpose(rev_t))
+    )
+
+    x = jnp.asarray(fwd_qend, jnp.int32)
+    if tail_q:
+        cand = jnp.where(j_idx < qlen[:, None], Hsnap, NEG_BIG)
+        best = jnp.max(cand, axis=1)
+        upd = best > mHH
+        xc = jnp.min(jnp.where(cand == best[:, None], j_idx, INT_MAX), axis=1)
+        x = jnp.where(upd, xc, x)
+        # reference fixup applied unconditionally inside the TAIL-QUERY
+        # block (:377-378)
+        y = jnp.where(x != tlen, qlen, y)
+    return (tlen - 1) - y, (qlen - 1) - x
+
+
+def semiglobal_align_with_start(q_np, t_np, qlen, tlen,
+                                params: AlignmentParams,
+                                head=None, tail=None):
+    """Full semiglobal WITH_START: forward scan engine (score/ends with
+    the reference quirks) + reverse pass (starts).
+
+    numpy in/out; returns (score, qend, tend, qstart, tstart)."""
+    from genomics_tpu.core.scoring import SemiGlobalSkip
+    from genomics_tpu.ops import scan_align
+
+    head = head or SemiGlobalSkip.NONE
+    tail = tail or SemiGlobalSkip.NONE
+    q_np = np.asarray(q_np)
+    t_np = np.asarray(t_np)
+    qlen = np.asarray(qlen, np.int64)
+    tlen = np.asarray(tlen, np.int64)
+    fwd = scan_align.semiglobal_align_batch(
+        jnp.asarray(q_np), jnp.asarray(t_np),
+        jnp.asarray(qlen, jnp.int32), jnp.asarray(tlen, jnp.int32),
+        params, head=head, tail=tail,
+    )
+    score = np.asarray(fwd.score)
+    qend = np.asarray(fwd.query_end)
+    tend = np.asarray(fwd.target_end)
+    B, Lq = q_np.shape
+    Lt = t_np.shape[1]
+    tr = (tlen + 7) // 8
+    a = tr - ((tend.astype(np.int64) >> 3) + 1)
+    gend_reg = np.where(a > 0, a - 1, a)
+    gend_reg = np.maximum(gend_reg, 0)
+    # plain full reversal into zeroed (code-0) words (:232-266), then
+    # shift the target left by the skipped strips (suffix view)
+    rev_q = np.zeros((B, Lq), np.uint8)
+    rev_t = np.zeros((B, Lt), np.uint8)
+    for b in range(B):
+        n = int(qlen[b])
+        rev_q[b, :n] = q_np[b, :n][::-1]
+        m = int(tlen[b])
+        g0 = int(gend_reg[b]) * 8
+        full = np.zeros(Lt, np.uint8)
+        full[:m] = t_np[b, :m][::-1]
+        rev_t[b, : Lt - g0] = full[g0:]
+    from genomics_tpu.core.scoring import SemiGlobalSkip as S
+
+    tstart, qstart = _semiglobal_start_core(
+        jnp.asarray(rev_q), jnp.asarray(rev_t),
+        jnp.asarray(qlen, jnp.int32), jnp.asarray(tlen, jnp.int32),
+        jnp.asarray(gend_reg * 8, jnp.int32),
+        jnp.asarray((tr - gend_reg) * 8, jnp.int32),
+        jnp.asarray(score, jnp.int32), jnp.asarray(qend, jnp.int32),
+        params,
+        head_q=head in (S.QUERY, S.BOTH), head_t=head in (S.TARGET, S.BOTH),
+        tail_q=tail in (S.QUERY, S.BOTH), tail_t=tail in (S.TARGET, S.BOTH),
+    )
+    return (score, qend, tend,
+            np.asarray(qstart, np.int32), np.asarray(tstart, np.int32))

@@ -5,7 +5,16 @@ embarrassingly parallel across *pairs*, so the only mesh axis that
 matters is `data`; sequence *length* is handled inside kernels (VMEM
 strip-mining / windows), not by sharding.  Multi-host runs extend the
 same mesh over DCN via jax.distributed — the code below is identical
-for 1 chip, 1 host, or N hosts."""
+for 1 chip, 1 host, or N hosts.
+
+The per-shard compute is the FAST path: the same Pallas kernels the
+single-chip engine dispatches (ops/pallas_align.py, pallas_pairhmm.py)
+composed under shard_map — the TPU analog of nGIA running its real CUDA
+kernels on every MPI rank (CDP/CLUSTER/cluster/src/func.cu:492-501).
+Shards are padded to lane multiples inside the mapped function (static
+shapes, XLA folds the pad); padding lanes are N-filled and score 0, and
+are sliced off before any cross-shard reduction.
+"""
 from __future__ import annotations
 
 import functools
@@ -15,8 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from genomics_tpu.core.encoding import N4
 from genomics_tpu.core.scoring import AlignmentParams
-from genomics_tpu.ops import scan_align, scan_pairhmm
+from genomics_tpu.ops import pallas_align, pallas_pairhmm, scan_align, scan_pairhmm
+
+LANES = 128
 
 
 def data_mesh(n_devices: int | None = None) -> Mesh:
@@ -33,13 +45,38 @@ def shard_batch(mesh: Mesh, *arrays):
     return tuple(jax.device_put(a, sh) for a in arrays)
 
 
+def _pad0(x, mult, fill=0):
+    """Pad axis 0 up to a multiple of `mult` (static shapes)."""
+    pad = (-x.shape[0]) % mult
+    if pad == 0:
+        return x
+    cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, cfg, constant_values=fill)
+
+
+def _pad1(x, mult, fill=0):
+    pad = (-x.shape[1]) % mult
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, 0), (0, pad)], constant_values=fill)
+
+
+def _pad_pair_shard(q, t):
+    """Pad a per-shard [b, L] pair batch to Pallas tile requirements:
+    b → lane multiple, L → 8-multiple, all with the N code."""
+    qp = _pad1(_pad0(q, LANES, N4), 8, N4)
+    tp = _pad1(_pad0(t, LANES, N4), 8, N4)
+    return qp, tp
+
+
 def sharded_align_scores(
     mesh: Mesh,
     q: jnp.ndarray,    # [B, Lq] uint8 (B divisible by mesh size)
     t: jnp.ndarray,    # [B, Lt]
     params: AlignmentParams,
+    use_pallas: bool = True,
 ):
-    """Data-parallel local alignment: per-shard DP, plus a global
+    """Data-parallel local alignment: per-shard Pallas DP, plus a global
     best-score reduction (the all-reduce the reference does over MPI).
 
     Returns (scores [B] — sharded, global_best scalar — replicated)."""
@@ -52,9 +89,15 @@ def sharded_align_scores(
         out_specs=(P("data"), P()),
     )
     def step(q_local, t_local):
-        res = scan_align.local_align_batch(q_local, t_local, params)
-        best = jax.lax.pmax(jnp.max(res.score), "data")
-        return res.score, best
+        b = q_local.shape[0]
+        if use_pallas:
+            qp, tp = _pad_pair_shard(q_local, t_local)
+            res = pallas_align.local_align_tpu(qp, tp, params)
+            score = res.score[:b]
+        else:
+            score = scan_align.local_align_batch(q_local, t_local, params).score
+        best = jax.lax.pmax(jnp.max(score), "data")
+        return score, best
 
     return jax.jit(step)(q, t)
 
@@ -73,10 +116,12 @@ def sharded_pipeline_step(
     iq: jnp.ndarray,
     dq: jnp.ndarray,
     params: AlignmentParams,
+    use_pallas: bool = True,
 ):
     """The flagship multi-chip step: SW scores + NW scores + PairHMM
-    likelihoods on the local shard, global statistics via collectives —
-    one fused jit, shardings annotated, XLA inserts the ICI collectives
+    likelihoods on the local shard — all via the Pallas fast-path
+    kernels — with global statistics via collectives.  One fused jit,
+    shardings annotated, XLA inserts the ICI collectives
     (BASELINE.json config 5).
 
     Returns dict of sharded per-read outputs + replicated globals."""
@@ -96,14 +141,29 @@ def sharded_pipeline_step(
         },
     )
     def step(q, t, qlen, tlen, reads, haps, rlen, clen, bq, iq, dq):
-        sw = scan_align.local_align_batch(q, t, params)
-        nw = scan_align.global_align_batch(q, t, qlen, tlen, params)
-        lik = scan_pairhmm.pairhmm_forward_batch(
-            reads, haps, rlen, clen, bq, iq, dq
-        )
+        b = q.shape[0]
+        if use_pallas:
+            qp, tp = _pad_pair_shard(q, t)
+            sw_score = pallas_align.local_align_tpu(qp, tp, params).score[:b]
+            nw_score = pallas_align.global_align_tpu(
+                qp, tp, _pad0(qlen, LANES, 1), _pad0(tlen, LANES, 1), params
+            ).score[:b]
+            lik = pallas_pairhmm.pairhmm_forward_tpu(
+                _pad0(reads, LANES), _pad0(haps, LANES),
+                _pad0(rlen, LANES, 1), _pad0(clen, LANES, 1),
+                _pad0(bq, LANES), _pad0(iq, LANES), _pad0(dq, LANES),
+            )[:b]
+        else:
+            sw_score = scan_align.local_align_batch(q, t, params).score
+            nw_score = scan_align.global_align_batch(
+                q, t, qlen, tlen, params
+            ).score
+            lik = scan_pairhmm.pairhmm_forward_batch(
+                reads, haps, rlen, clen, bq, iq, dq
+            )
         # global best + owning shard: the nGIA "representative selection"
         # pattern (min/max reduce + implicit replication, no Bcast)
-        local_best = jnp.max(sw.score)
+        local_best = jnp.max(sw_score)
         global_best = jax.lax.pmax(local_best, "data")
         me = jax.lax.axis_index("data")
         owner = jax.lax.pmin(
@@ -111,8 +171,8 @@ def sharded_pipeline_step(
         )
         total = jax.lax.psum(jnp.sum(lik, dtype=jnp.float32), "data")
         return {
-            "sw_score": sw.score,
-            "nw_score": nw.score,
+            "sw_score": sw_score,
+            "nw_score": nw_score,
             "likelihood": lik,
             "global_best_sw": global_best,
             "global_best_owner": owner,

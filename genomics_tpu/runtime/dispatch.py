@@ -68,6 +68,11 @@ class AlignmentJob:
     query_start: int = 0
     target_start: int = 0
     cigar: np.ndarray | None = None   # byte-CIGAR (walk order)
+    # second-best (params.second_best; gasal_res_t secondBest fields,
+    # reference: CDP/GASAL2/src/res.cpp:8-76 / local_kernel_template.h)
+    score_second: int = 0
+    query_end_second: int = 0
+    target_end_second: int = 0
 
     @property
     def cigar_string(self) -> str:
@@ -198,36 +203,47 @@ class AlignEngine:
                 tlen[k] = len(enc_t[i])
                 hb[k] = h0[i]
             res = self._run_bucket(qb, tb, qlen, tlen, hb)
-            pending.append(((lq, lt), idxs, qlen, tlen, res))
-        return pending, n, enc_q, enc_t
+            second = None
+            if self.params.second_best and self.params.algo == AlgoType.LOCAL:
+                # second-best runs the visit-order engine (async too):
+                # the GASAL2 kernel computes it inline; here it is an
+                # extra pass only when requested (gasal_align.h:98-106)
+                from genomics_tpu.ops import scan_align_full
 
-    def _collect(self, pending, n, enc_q, enc_t):
+                second = scan_align_full.local_align_second_batch(
+                    jnp.asarray(qb), jnp.asarray(tb),
+                    jnp.asarray(qlen), jnp.asarray(tlen), self.params
+                )
+            pending.append(((lq, lt), idxs, qlen, tlen, qb, tb, res, second))
+        return pending, n
+
+    def _collect(self, pending, n):
         """Materialize results (blocks on the device work)."""
         out: list[AlignmentJob | None] = [None] * n
-        for (lq, lt), idxs, qlen, tlen, res in pending:
+        for (lq, lt), idxs, qlen, tlen, qb, tb, res, second in pending:
             score = np.asarray(res.score)
             qend = np.asarray(res.query_end)
             tend = np.asarray(res.target_end)
             starts = None
-            if (
-                self.params.compute_start
-                and not self.with_tb
-                and self.params.algo == AlgoType.LOCAL
-            ):
-                # GASAL2 WITH_START reverse pass (gold semantics; when
+            if self.params.compute_start and not self.with_tb:
+                # GASAL2 WITH_START reverse passes (gold semantics; when
                 # with_tb is on, starts come from the CIGAR walk instead,
                 # exactly as in GASAL2)
                 from genomics_tpu.ops import scan_align_full
 
-                qb2 = np.full((len(qlen), lq), N4, np.uint8)
-                tb2 = np.full((len(tlen), lt), N4, np.uint8)
-                for k, i in enumerate(idxs):
-                    qb2[k, : len(enc_q[i])] = enc_q[i]
-                    tb2[k, : len(enc_t[i])] = enc_t[i]
-                _s, _qe, _te, qst, tst = scan_align_full.local_align_with_start(
-                    qb2, tb2, qlen[: len(qb2)], tlen[: len(tb2)], self.params
-                )
-                starts = (qst, tst)
+                if self.params.algo == AlgoType.LOCAL:
+                    _s, _qe, _te, qst, tst = scan_align_full.local_align_with_start(
+                        qb, tb, qlen, tlen, self.params
+                    )
+                    starts = (qst, tst)
+                elif self.params.algo == AlgoType.SEMI_GLOBAL:
+                    _s, _qe, _te, qst, tst = (
+                        scan_align_full.semiglobal_align_with_start(
+                            qb, tb, qlen, tlen, self.params,
+                            head=self.head, tail=self.tail,
+                        )
+                    )
+                    starts = (qst, tst)
             cigars = n_ops = qstart = tstart = None
             if self.with_tb and res.tb is not None:
                 packed = np.asarray(res.tb)
@@ -239,6 +255,10 @@ class AlignEngine:
                     packed, qlen, tlen, algo, self.params,
                     score=score, qend=qend, tend=tend,
                 )
+            if second is not None:
+                s2 = np.asarray(second[3])
+                q2 = np.asarray(second[4])
+                t2 = np.asarray(second[5])
             for k, i in enumerate(idxs):
                 job = AlignmentJob(
                     score=int(score[k]),
@@ -252,6 +272,10 @@ class AlignEngine:
                 elif starts is not None:
                     job.query_start = int(starts[0][k])
                     job.target_start = int(starts[1][k])
+                if second is not None:
+                    job.score_second = int(s2[k])
+                    job.query_end_second = int(q2[k])
+                    job.target_end_second = int(t2[k])
                 out[i] = job
         return out  # type: ignore[return-value]
 
@@ -267,20 +291,25 @@ def _pack_nibbles_np(nibs: np.ndarray) -> np.ndarray:
 
 class AsyncHandle:
     """In-flight batch: device work was dispatched asynchronously at
-    submit time; `result()` materializes (the gasal_is_aln_async_done
-    poll becomes a blocking collect — JAX queues the device work at
-    submit, so host prep of the NEXT batch overlaps device compute of
-    this one, exactly GASAL2's double-buffering)."""
+    submit time; `done()` is a true non-blocking poll of the device
+    arrays (jax.Array.is_ready — the cudaStreamQuery analog behind
+    gasal_is_aln_async_done); `result()` materializes."""
 
-    def __init__(self, engine, finisher):
+    def __init__(self, engine, pending, finisher):
+        self._pending = pending
         self._finisher = finisher
         self._result = None
         self._done = False
 
     def done(self) -> bool:
-        # JAX async dispatch gives no cheap poll; report done after the
-        # first result() (parity with gasal_is_aln_async_done semantics)
-        return self._done
+        if self._done:
+            return True
+        for entry in self._pending:
+            res = entry[6]
+            for arr in (res.score, res.query_end, res.target_end):
+                if hasattr(arr, "is_ready") and not arr.is_ready():
+                    return False
+        return True
 
     def result(self) -> list[AlignmentJob]:
         if not self._done:
@@ -297,7 +326,7 @@ def _engine_align_async(self, queries, targets, h0=None):
     >>> r1, r2 = h1.result(), h2.result()
     """
     state = self._dispatch(queries, targets, h0)
-    return AsyncHandle(self, lambda s=state: self._collect(*s))
+    return AsyncHandle(self, state[0], lambda s=state: self._collect(*s))
 
 
 AlignEngine.align_async = _engine_align_async

@@ -104,10 +104,11 @@ def _parse_cigar(cig: str) -> list[tuple[int, int]]:
 def _encode_record(
     name: str, seq: str, m, flag: int,
     next_pos: int = -1, tlen: int = 0, qual: bytes | None = None,
+    ref_id: int = 0,
 ) -> bytes:
-    """One BAM alignment record (refID fixed to 0 / -1 if unmapped)."""
+    """One BAM alignment record (-1 refID if unmapped)."""
     mapped = m.pos >= 0
-    ref_id = 0 if mapped else -1
+    ref_id = ref_id if mapped else -1
     pos = m.pos - 1 if mapped else -1
     seq_out = samio._sam_seq(seq, m)
     cig = samio._sam_cigar(m, len(seq)) if mapped else "*"
@@ -125,7 +126,7 @@ def _encode_record(
         ref_id, pos,
         len(name_b), getattr(m, "mapq", 0) if mapped else 0, bam_bin,
         len(cigar_ops), flag, len(seq_out),
-        (0 if next_pos >= 0 else -1), (next_pos if next_pos >= 0 else -1),
+        (ref_id if next_pos >= 0 else -1), (next_pos if next_pos >= 0 else -1),
         tlen,
     )
     body += name_b
@@ -135,35 +136,53 @@ def _encode_record(
     return struct.pack("<i", len(body)) + body
 
 
-def write_bam(
-    path: str, ref_name: str, ref_len: int,
-    records: Iterable,       # (name, seq, Mapping)  single-end
-) -> None:
+def _ref_table(ref_name, ref_len):
+    """(contigs list, name→id dict) — ref_name may be a single name or a
+    list of (name, length) pairs (multi-contig references)."""
+    if isinstance(ref_name, str):
+        contigs = [(ref_name, ref_len)]
+    else:
+        contigs = list(ref_name)
+    return contigs, {n: i for i, (n, _) in enumerate(contigs)}
+
+
+def _header_blob(contigs) -> bytes:
+    text = samio.sam_header(contigs).encode()
     data = bytearray()
-    text = samio.sam_header(ref_name, ref_len).encode()
     data += b"BAM\x01" + struct.pack("<i", len(text)) + text
-    data += struct.pack("<i", 1)
-    nm = ref_name.encode() + b"\0"
-    data += struct.pack("<i", len(nm)) + nm + struct.pack("<i", ref_len)
+    data += struct.pack("<i", len(contigs))
+    for n, l in contigs:
+        nm = n.encode() + b"\0"
+        data += struct.pack("<i", len(nm)) + nm + struct.pack("<i", l)
+    return bytes(data)
+
+
+def _rid(m, ids) -> int:
+    c = getattr(m, "contig", None)
+    return ids.get(c, 0) if c else 0
+
+
+def write_bam(
+    path: str, ref_name, ref_len: int = 0,
+    records: Iterable = (),  # (name, seq, Mapping)  single-end
+) -> None:
+    contigs, ids = _ref_table(ref_name, ref_len)
+    data = bytearray(_header_blob(contigs))
     for name, seq, m in records:
         flag = (samio.FLAG_REVERSE if (m.pos >= 0 and m.reverse) else 0) | (
             samio.FLAG_UNMAPPED if m.pos < 0 else 0
         )
-        data += _encode_record(name, seq, m, flag)
+        data += _encode_record(name, seq, m, flag, ref_id=_rid(m, ids))
     with open(path, "wb") as fh:
         fh.write(bgzf_compress(bytes(data)))
 
 
 def write_bam_pairs(
-    path: str, ref_name: str, ref_len: int,
-    records: Iterable,       # (name, seq1, m1, seq2, m2)
+    path: str, ref_name, ref_len: int = 0,
+    records: Iterable = (),  # (name, seq1, m1, seq2, m2)
 ) -> None:
-    data = bytearray()
-    text = samio.sam_header(ref_name, ref_len).encode()
-    data += b"BAM\x01" + struct.pack("<i", len(text)) + text
-    data += struct.pack("<i", 1)
-    nm = ref_name.encode() + b"\0"
-    data += struct.pack("<i", len(nm)) + nm + struct.pack("<i", ref_len)
+    contigs, ids = _ref_table(ref_name, ref_len)
+    data = bytearray(_header_blob(contigs))
     for name, seq1, m1, seq2, m2 in records:
         f1, _, pn1, tl1 = samio._pair_fields(m1, m2, ref_name)
         f2, _, pn2, tl2 = samio._pair_fields(m2, m1, ref_name)
@@ -173,8 +192,10 @@ def write_bam_pairs(
         f2 |= samio.FLAG_SECOND | (
             samio.FLAG_UNMAPPED if m2.pos < 0 else
             (samio.FLAG_REVERSE if m2.reverse else 0))
-        data += _encode_record(name, seq1, m1, f1, pn1 - 1, tl1)
-        data += _encode_record(name, seq2, m2, f2, pn2 - 1, tl2)
+        data += _encode_record(name, seq1, m1, f1, pn1 - 1, tl1,
+                               ref_id=_rid(m1, ids))
+        data += _encode_record(name, seq2, m2, f2, pn2 - 1, tl2,
+                               ref_id=_rid(m2, ids))
     with open(path, "wb") as fh:
         fh.write(bgzf_compress(bytes(data)))
 

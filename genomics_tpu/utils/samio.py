@@ -58,17 +58,26 @@ def sam_record(
         flag = FLAG_UNMAPPED | flag_extra
         return f"{name}\t{flag}\t*\t0\t0\t*\t{rnext}\t{pnext}\t{tlen}\t{seq}\t*"
     flag = flag_extra | (FLAG_REVERSE if m.reverse else 0)
+    # multi-contig mappers stamp the owning contig on the Mapping
+    rname = getattr(m, "contig", None) or ref_name
     return (
-        f"{name}\t{flag}\t{ref_name}\t{m.pos}\t{m.mapq}\t{_sam_cigar(m, len(seq))}"
+        f"{name}\t{flag}\t{rname}\t{m.pos}\t{m.mapq}\t{_sam_cigar(m, len(seq))}"
         f"\t{rnext}\t{pnext}\t{tlen}\t{_sam_seq(seq, m)}\t*"
     )
 
 
-def sam_header(ref_name: str, ref_len: int) -> str:
+def sam_header(ref_name, ref_len: int = 0) -> str:
+    """ref_name: a single name (with ref_len), or a list of
+    (name, length) pairs for multi-contig references."""
+    if isinstance(ref_name, str):
+        contigs = [(ref_name, ref_len)]
+    else:
+        contigs = list(ref_name)
+    sq = "".join(f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in contigs)
     return (
         "@HD\tVN:1.6\tSO:unsorted\n"
-        f"@SQ\tSN:{ref_name}\tLN:{ref_len}\n"
-        "@PG\tID:genomics_tpu\tPN:genomics_tpu\n"
+        + sq
+        + "@PG\tID:genomics_tpu\tPN:genomics_tpu\n"
     )
 
 

@@ -112,3 +112,71 @@ def test_bam_roundtrip_pairs(tmp_path, genome):
     assert out[0].pos == a.pos - 1 and out[1].pos == b.pos - 1
     assert out[0].next_pos == b.pos - 1
     assert out[0].tlen == 300 and out[1].tlen == -300
+
+
+def test_mapper_multi_contig():
+    """Reads map to the right contig with local coordinates; SAM header
+    lists every @SQ (multi-reference FASTA, nvBowtie-class)."""
+    rng = np.random.default_rng(11)
+    c1 = "".join(rng.choice(list("ACGT"), 300))
+    c2 = "".join(rng.choice(list("ACGT"), 260))
+    mapper = ReadMapper([("chrA", c1), ("chrB", c2)])
+    r1 = c1[40:40 + 80]
+    r2 = c2[100:100 + 80]
+    maps = mapper.map_batch([r1, r2])
+    assert maps[0].contig == "chrA" and maps[0].pos == 41
+    assert maps[1].contig == "chrB" and maps[1].pos == 101
+    # header form
+    from genomics_tpu.utils import samio
+
+    hdr = samio.sam_header([("chrA", len(c1)), ("chrB", len(c2))])
+    assert "SN:chrA" in hdr and "SN:chrB" in hdr
+
+
+def test_mapper_fm_seeding():
+    """FM-index MEM seeding maps reads like the q-gram seeder."""
+    rng = np.random.default_rng(12)
+    genome = "".join(rng.choice(list("ACGT"), 400))
+    mapper = ReadMapper(genome, seeder="fm")
+    read = genome[120:120 + 90]
+    m = mapper.map_batch([read])[0]
+    assert m.pos == 121 and not m.reverse
+    # reverse strand too
+    m2 = mapper.map_batch([revcomp(read)])[0]
+    assert m2.pos == 121 and m2.reverse
+
+
+def test_mapper_report_modes():
+    """report='all' / best-N returns secondary alignments
+    (nvBowtie reduce.cu reporting policy)."""
+    rng = np.random.default_rng(13)
+    unit = "".join(rng.choice(list("ACGT"), 120))
+    genome = unit + "".join(rng.choice(list("ACGT"), 60)) + unit
+    mapper = ReadMapper(genome)
+    read = unit[10:90]
+    all_hits = mapper.map_batch([read], report="all")[0]
+    assert len(all_hits) >= 2
+    ps = sorted(h.pos for h in all_hits)
+    assert ps[0] == 11 and ps[-1] == 11 + 180
+    # best-1 cap
+    one = mapper.map_batch([read], report=1)[0]
+    assert len(one) == 1 and one[0].mapq >= 0
+    # repeat read → low primary mapq (two equal best scores)
+    assert all_hits[0].mapq <= 3
+
+
+def test_bowtie_mapq2_model():
+    """BowtieMapq2 decision tree spot values (mapq.h:267-327, local)."""
+    from genomics_tpu.models.mapq import MapqScheme, bowtie_mapq2
+
+    sc = MapqScheme(match=2, monotone=False)
+    L = 100
+    perfect = sc.perfect_score(L)
+    # unique perfect hit → 44
+    assert bowtie_mapq2(perfect, None, L, sc) == 44
+    # equal second-best → 0/1
+    assert bowtie_mapq2(perfect, perfect, L, sc) <= 1
+    # strong gap → high
+    assert bowtie_mapq2(perfect, int(sc.min_score(L)) + 1, L, sc) >= 38
+    # below min score → 0
+    assert bowtie_mapq2(int(sc.min_score(L)) - 1, None, L, sc) == 0

@@ -128,3 +128,18 @@ def test_align_async_double_buffer():
     assert r1[2].score == g["score"]
     g = golds.local_align(qs2[6], ts2[6], P)
     assert r2[6].score == g["score"]
+
+
+def test_engine_second_best():
+    """params.second_best surfaces through AlignEngine (GASAL2
+    --second-best, reference res.cpp:8-76)."""
+    rng = np.random.default_rng(7)
+    qs, ts = rand_pairs(rng, 30, lo=8, hi=80)
+    eng = AlignEngine(AlignmentParams(second_best=True))
+    res = eng.align(qs, ts)
+    for i in range(0, 30, 4):
+        g = golds.local_align(qs[i], ts[i], AlignmentParams(), second_best=True)
+        assert res[i].score == g["score"]
+        assert res[i].score_second == g["score_second"]
+        assert res[i].query_end_second == g["query_end_second"]
+        assert res[i].target_end_second == g["target_end_second"]

@@ -57,3 +57,62 @@ def test_with_start_embedded_known():
         pb.query.codes, pb.target.codes, pb.query.lengths, pb.target.lengths, P
     )
     assert score[0] == 8 and qs_[0] == 0 and ts_[0] == 10  # reference skew
+
+
+def test_semiglobal_with_start_all_combos():
+    """Reverse-pass starts vs gold across all 16 HEAD×TAIL combos
+    (semiglobal_kernel_template.h:227-384 semantics, quirks included)."""
+    from genomics_tpu.core.encoding import encode4, N4
+    from genomics_tpu.core.scoring import SemiGlobalSkip as S
+
+    rng = np.random.default_rng(42)
+    for head in (S.NONE, S.QUERY, S.TARGET, S.BOTH):
+        for tail in (S.NONE, S.QUERY, S.TARGET, S.BOTH):
+            qs = ["".join(rng.choice(list("ACGT"), rng.integers(5, 40)))
+                  for _ in range(8)]
+            ts = ["".join(rng.choice(list("ACGT"), rng.integers(5, 60)))
+                  for _ in range(8)]
+            Lq = max(((len(s) + 7) // 8) * 8 for s in qs)
+            Lt = max(((len(s) + 7) // 8) * 8 for s in ts)
+            qb = np.full((8, Lq), N4, np.uint8)
+            tb = np.full((8, Lt), N4, np.uint8)
+            ql = np.zeros(8, np.int64)
+            tl = np.zeros(8, np.int64)
+            for i, (a, b) in enumerate(zip(qs, ts)):
+                ea, eb = encode4(a), encode4(b)
+                qb[i, : len(ea)] = ea
+                tb[i, : len(eb)] = eb
+                ql[i] = len(ea)
+                tl[i] = len(eb)
+            s, qe, te, qst, tst = F.semiglobal_align_with_start(
+                qb, tb, ql, tl, P, head=head, tail=tail
+            )
+            for i in range(8):
+                g = golds.semiglobal_align(
+                    qs[i], ts[i], P, head=head, tail=tail, with_start=True
+                )
+                assert s[i] == g["score"], (head, tail, i)
+                assert qst[i] == g["query_start"], (head, tail, i)
+                assert tst[i] == g["target_start"], (head, tail, i)
+
+
+def test_engine_semiglobal_with_start():
+    """compute_start surfaces through AlignEngine for SEMI_GLOBAL."""
+    from genomics_tpu.core.scoring import AlgoType, SemiGlobalSkip as S
+    from genomics_tpu.runtime.dispatch import AlignEngine
+
+    rng = np.random.default_rng(3)
+    qs = ["".join(rng.choice(list("ACGT"), rng.integers(8, 50)))
+          for _ in range(20)]
+    ts = ["".join(rng.choice(list("ACGT"), rng.integers(8, 70)))
+          for _ in range(20)]
+    pp = AlignmentParams(algo=AlgoType.SEMI_GLOBAL, compute_start=True)
+    eng = AlignEngine(pp, head=S.TARGET, tail=S.TARGET)
+    res = eng.align(qs, ts)
+    for i in range(0, 20, 3):
+        g = golds.semiglobal_align(
+            qs[i], ts[i], P, head=S.TARGET, tail=S.TARGET, with_start=True
+        )
+        assert res[i].score == g["score"]
+        assert res[i].target_start == g["target_start"]
+        assert res[i].query_start == g["query_start"]
