@@ -65,6 +65,30 @@ def main(argv=None):
     p.add_argument("-o", "--output", default=None)
     p.add_argument("-s", "--similarity", type=float, default=0.95)
 
+    p = sub.add_parser("index", help="build + save an FM-index (nvBWT/nvSSA)")
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-o", "--output", required=True, help="output .npz prefix")
+    p.add_argument("--sa-rate", type=int, default=None)
+    p.add_argument("--set-bwt", action="store_true",
+                   help="index the concatenated read SET (nvSetBWT)")
+
+    p = sub.add_parser("fmquery", help="query a saved FM-index (nvFM-server)")
+    p.add_argument("-x", "--index", required=True)
+    p.add_argument("-p", "--patterns", required=True, nargs="+")
+    p.add_argument("--locate", action="store_true")
+
+    p = sub.add_parser("extract", help="dump reads from BAM/FASTQ/FASTA (nvExtractReads)")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("lighter", help="Bloom-filter error correction (nvLighter)")
+    p.add_argument("-i", "--reads", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-k", "--kmer", type=int, default=17)
+    p.add_argument("-g", "--genome-size", type=int, default=None)
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--bloom-bits", type=int, default=1 << 24)
+
     p = sub.add_parser("map", help="read mapping → SAM/BAM")
     p.add_argument("-r", "--reference", required=True)
     p.add_argument("-q", "--reads", required=True)
@@ -131,6 +155,77 @@ def main(argv=None):
         res = ngia.run_file(args.input, args.output,
                             similarity=args.similarity)
         print(f"cluster: {res.n_clusters}")
+    elif args.cmd == "index":
+        from genomics_tpu.index.fmindex import FMIndex, save_index
+        from genomics_tpu.utils.fasta import read_fasta
+
+        recs = read_fasta(args.reference)
+        if args.set_bwt:
+            text = "".join(r.seq for r in recs)      # nvSetBWT: read set
+        else:
+            text = "".join(r.seq for r in recs)      # multi-contig concat
+        fm = FMIndex(text, sa_rate=args.sa_rate)
+        save_index(fm, args.output)
+        print(f"indexed {len(text)} bp ({len(recs)} sequences, "
+              f"sa_rate={fm.sa_rate}) → {args.output}.npz"
+              if not args.output.endswith('.npz') else args.output)
+    elif args.cmd == "fmquery":
+        import numpy as np
+
+        from genomics_tpu.index.fmindex import load_index
+        from genomics_tpu.index.qgram import encode2
+
+        fm = load_index(args.index)
+        L = max(len(p_) for p_ in args.patterns)
+        Q = np.full((len(args.patterns), L), 255, np.uint8)
+        ql = np.zeros(len(args.patterns), np.int64)
+        for i, pat in enumerate(args.patterns):
+            e = encode2(pat)
+            Q[i, : len(e)] = e
+            ql[i] = len(e)
+        lo, hi = fm.backward_search(Q, ql)
+        for pat, l, h in zip(args.patterns, lo, hi):
+            cnt = max(int(h - l), 0)
+            line = f"{pat}\t{cnt}"
+            if args.locate and cnt:
+                pos = fm.locate(int(l), int(h))[:20]
+                line += "\t" + ",".join(str(int(x)) for x in pos)
+            print(line)
+    elif args.cmd == "extract":
+        from genomics_tpu.utils.fasta import read_fasta, read_fastq
+
+        if args.input.endswith(".bam"):
+            from genomics_tpu.utils.bamio import read_bam
+
+            _h, _r, recs = read_bam(args.input)
+            seqs = [r.seq for r in recs]
+        elif args.input.endswith((".fastq", ".fq")):
+            seqs = [r.seq for r in read_fastq(args.input)]
+        else:
+            seqs = [r.seq for r in read_fasta(args.input)]
+        with open(args.output, "w") as fh:
+            for s_ in seqs:
+                fh.write(s_ + "\n")
+        print(f"extracted {len(seqs)} reads → {args.output}")
+    elif args.cmd == "lighter":
+        from genomics_tpu.models.corrector import LighterCorrector
+        from genomics_tpu.utils.fasta import read_fasta, read_fastq
+
+        recs = (read_fastq(args.reads)
+                if args.reads.endswith((".fastq", ".fq")) else
+                read_fasta(args.reads))
+        corr = LighterCorrector(k=args.kmer, genome_size=args.genome_size,
+                                alpha=args.alpha, bloom_bits=args.bloom_bits)
+        corr.build([r.seq for r in recs])
+        fixed = unreliable = 0
+        with open(args.output, "w") as fh:
+            for r in recs:
+                f, c = corr.correct(r.seq)
+                fixed += max(c, 0)
+                unreliable += c < 0
+                fh.write(f">{r.name}\n{f}\n")
+        print(f"corrected {fixed} bases, {unreliable} unreliable reads "
+              f"→ {args.output}")
     elif args.cmd == "map":
         from genomics_tpu.models.mapper import ReadMapper
         from genomics_tpu.utils import bamio, samio

@@ -2,11 +2,12 @@
 CDP/NvB/nvbio/fmindex — rank dictionaries + backtracking search;
 nvbio/sufsort builds the BWT; nvBWT app).
 
-Build: suffix array via numpy sorting (doubling algorithm), BWT, and a
-sampled occurrence table.  Search: batched backward search — all
-queries step together, each step two rank lookups per query (vectorized
-gathers).  Locate: SA lookup (full SA kept; nvbio samples it — at our
-scales full SA is fine and exact).
+Build: linear-time native SA-IS (native/sais.cpp; numpy prefix
+doubling fallback), BWT, occ checkpoints every `occ_rate` positions
+(rank = checkpoint + in-block count, the nvbio rank_dict design), and a
+text-position-sampled SA (`sa_rate`; full below 8 Mbp).  Search:
+batched backward search — all queries step together, two rank lookups
+per query per step (vectorized gathers).  Locate: sampled-SA LF walk.
 """
 from __future__ import annotations
 
@@ -42,23 +43,77 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
 
 
 class FMIndex:
-    def __init__(self, text: str | bytes):
+    def __init__(self, text: str | bytes, occ_rate: int = 128,
+                 sa_rate: int | None = None):
         codes = encode2(text)
-        assert (codes != 255).all(), "FM-index text must be ACGT only"
-        # append sentinel -1 (lexicographically smallest)
-        t = np.concatenate([codes.astype(np.int64), [-1]])
-        self.n = len(t)
-        sa = suffix_array(t + 1)  # shift to nonneg: sentinel 0, A..T = 1..4
-        self.sa = sa
-        bwt = t[(sa - 1) % self.n] + 1  # 0 = sentinel, 1..4 = A..T
-        self.bwt = bwt.astype(np.int8)
+        if (codes == 255).any():
+            raise ValueError(
+                "FM-index text must be ACGT only (found other symbols); "
+                "split contigs or mask N runs before indexing"
+            )
+        self.n = len(codes) + 1   # text + appended sentinel
+        # genome-scale path: native linear-time SA-IS + BWT
+        # (native/sais.cpp, the nvbio/sufsort replacement — a 50 Mbp
+        # reference indexes in seconds); numpy prefix doubling fallback
+        from genomics_tpu.runtime import native
+
+        codes_u8 = codes.astype(np.uint8)
+        sa = native.sais_u8(codes_u8)
+        if sa is None:
+            t = np.concatenate([codes.astype(np.int64), [-1]])
+            sa = suffix_array(t + 1)  # sentinel 0, A..T = 1..4
+            bwt = (t[(sa - 1) % self.n] + 1).astype(np.int8)
+        else:
+            buf = native.bwt_from_sa(codes_u8, sa)
+            # uint8 wraparound maps the 0xFF sentinel marker to 0 and
+            # codes 0..3 to symbols 1..4 in one add
+            bwt = (buf + np.uint8(1)).astype(np.int8)
+        self.bwt = bwt
         # C array: counts of symbols < s
         counts = np.bincount(bwt, minlength=5)
         self.C = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        # occ[s, i] = # of s in bwt[:i] — full table (sampled in nvbio)
-        self.occ = np.zeros((5, self.n + 1), np.int64)
-        for s in range(5):
-            self.occ[s, 1:] = np.cumsum(bwt == s)
+        # rank dictionary: occ checkpoints every occ_rate positions with
+        # an in-block popcount at query time (nvbio/fmindex rank_dict
+        # design — a FULL occ table would be 5*(n+1)*8 bytes, 2 GB for a
+        # 50 Mbp reference)
+        R = int(occ_rate)
+        self.occ_rate = R
+        nb = (self.n + R - 1) // R
+        ckpt = np.zeros((5, nb + 1), np.int64)
+        starts = np.arange(0, self.n, R)
+        for sym in range(5):
+            cnt = np.add.reduceat(bwt == sym, starts)
+            ckpt[sym, 1:] = np.cumsum(cnt)
+        self.ckpt = ckpt
+        # SA sampling (nvbio SSA): text-position-sampled — keep rows
+        # whose suffix position is a multiple of sa_rate, locate via the
+        # LF walk.  Full SA for small texts (tests, exactness).
+        if sa_rate is None:
+            sa_rate = 32 if self.n > 8_000_000 else 1
+        self.sa_rate = int(sa_rate)
+        if self.sa_rate <= 1:
+            self.sa = sa
+            self._ssa_rows = None
+        else:
+            mask = (sa % self.sa_rate) == 0
+            self.sa = None
+            self._ssa_rows = np.nonzero(mask)[0].astype(np.int64)
+            self._ssa_vals = sa[self._ssa_rows].astype(np.int64)
+
+    def rank(self, s: np.ndarray, i: np.ndarray) -> np.ndarray:
+        """occ(s, i) = # of symbol s in bwt[:i], vectorized (checkpoint
+        + in-block count)."""
+        s = np.asarray(s, np.int64)
+        i = np.asarray(i, np.int64)
+        R = self.occ_rate
+        k = i // R
+        base = self.ckpt[s, k]
+        start = k * R
+        offs = np.arange(R, dtype=np.int64)
+        idxm = start[..., None] + offs
+        valid = idxm < i[..., None]
+        blk = self.bwt[np.minimum(idxm, self.n - 1)]
+        return base + ((blk == s[..., None]) & valid).sum(-1)
 
     def backward_search(self, queries: np.ndarray, qlen: np.ndarray):
         """Batched exact-match backward search.
@@ -75,16 +130,50 @@ class FMIndex:
             act = alive & (k >= 0)
             sym = np.where(act, queries[np.arange(B), np.clip(k, 0, L - 1)], 0)
             s = sym.astype(np.int64) + 1  # bwt symbol space
-            nlo = self.C[s] + self.occ[s, lo]
-            nhi = self.C[s] + self.occ[s, hi]
+            nlo = self.C[s] + self.rank(s, lo)
+            nhi = self.C[s] + self.rank(s, hi)
             lo = np.where(act, nlo, lo)
             hi = np.where(act, nhi, hi)
             alive = alive & (hi > lo)
         return lo, hi
 
+    def sa_values(self, rows: np.ndarray) -> np.ndarray:
+        """Suffix positions for SA rows; LF-walks to the nearest sampled
+        row when the SA is sampled (<= sa_rate steps, vectorized)."""
+        rows = np.asarray(rows, np.int64)
+        if self.sa is not None:
+            return self.sa[rows].astype(np.int64)
+        out = np.full(rows.shape, -1, np.int64)
+        cur = rows.copy()
+        steps = np.zeros(rows.shape, np.int64)
+        for _ in range(self.sa_rate + 1):
+            unresolved = out < 0
+            if not unresolved.any():
+                break
+            r = cur[unresolved]
+            idx = np.searchsorted(self._ssa_rows, r)
+            idx = np.minimum(idx, len(self._ssa_rows) - 1)
+            hit = self._ssa_rows[idx] == r
+            vals = np.where(hit, self._ssa_vals[idx] + steps[unresolved], -1)
+            o = out[unresolved]
+            o[hit] = vals[hit]
+            out[unresolved] = o
+            # LF step for the rest
+            sym = self.bwt[r].astype(np.int64)
+            nxt = self.C[sym] + self.rank(sym, r)
+            c = cur[unresolved]
+            c[~hit] = nxt[~hit]
+            cur[unresolved] = c
+            st = steps[unresolved]
+            st[~hit] += 1
+            steps[unresolved] = st
+        return out
+
     def locate(self, lo: int, hi: int) -> np.ndarray:
         """SA range → sorted text positions."""
-        return np.sort(self.sa[lo:hi])
+        if hi <= lo:
+            return np.zeros(0, np.int64)
+        return np.sort(self.sa_values(np.arange(lo, hi)))
 
     def count(self, pattern: str) -> int:
         codes = encode2(pattern)[None, :]
@@ -110,8 +199,8 @@ def find_mems(fm: "FMIndex", query, min_len: int = 19):
         last = None
         while i > 0 and codes[i - 1] != 255:
             s = int(codes[i - 1]) + 1
-            nlo = fm.C[s] + fm.occ[s, lo]
-            nhi = fm.C[s] + fm.occ[s, hi]
+            nlo = int(fm.C[s] + fm.rank(np.int64(s), np.int64(lo)))
+            nhi = int(fm.C[s] + fm.rank(np.int64(s), np.int64(hi)))
             if nhi <= nlo:
                 break
             lo, hi = int(nlo), int(nhi)
@@ -133,6 +222,43 @@ def seed_positions(fm: "FMIndex", query, min_len: int = 19, max_hits: int = 32):
     """MEMs expanded to (q_start, ref_pos) seed pairs (capped per MEM)."""
     out = []
     for qs, qe, lo, hi in find_mems(fm, query, min_len):
-        for p in fm.sa[lo : min(hi, lo + max_hits)]:
+        for p in fm.sa_values(np.arange(lo, min(hi, lo + max_hits))):
             out.append((qs, int(p)))
     return out
+
+
+def save_index(fm: "FMIndex", path: str) -> None:
+    """Persist an FM-index (the nvBWT/nvSSA output-file analog — BWT +
+    C + occ checkpoints + sampled SA in one npz; nvFM-server's role of
+    sharing a built index across processes becomes load_index)."""
+    np.savez_compressed(
+        path,
+        n=fm.n,
+        bwt=fm.bwt,
+        C=fm.C,
+        ckpt=fm.ckpt,
+        occ_rate=fm.occ_rate,
+        sa_rate=fm.sa_rate,
+        sa=fm.sa if fm.sa is not None else np.zeros(0, np.int64),
+        ssa_rows=fm._ssa_rows if fm._ssa_rows is not None else np.zeros(0, np.int64),
+        ssa_vals=fm._ssa_vals if fm._ssa_rows is not None else np.zeros(0, np.int64),
+    )
+
+
+def load_index(path: str) -> "FMIndex":
+    z = np.load(path if path.endswith(".npz") else path + ".npz")
+    fm = FMIndex.__new__(FMIndex)
+    fm.n = int(z["n"])
+    fm.bwt = z["bwt"]
+    fm.C = z["C"]
+    fm.ckpt = z["ckpt"]
+    fm.occ_rate = int(z["occ_rate"])
+    fm.sa_rate = int(z["sa_rate"])
+    if fm.sa_rate <= 1:
+        fm.sa = z["sa"]
+        fm._ssa_rows = None
+    else:
+        fm.sa = None
+        fm._ssa_rows = z["ssa_rows"]
+        fm._ssa_vals = z["ssa_vals"]
+    return fm

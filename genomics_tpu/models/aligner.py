@@ -79,7 +79,11 @@ class _Stream:
         self.h0 = np.asarray(h0, np.int32)
 
     def aln_async(self):
-        assert len(self.queries) == len(self.targets), "unbalanced batch"
+        if len(self.queries) != len(self.targets):
+            raise ValueError(
+                f"unbalanced batch: {len(self.queries)} queries vs "
+                f"{len(self.targets)} targets (fill both before aln_async)"
+            )
         qs = list(self.queries)
         ts = list(self.targets)
         if self.q_ops is not None:

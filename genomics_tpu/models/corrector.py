@@ -83,3 +83,539 @@ class KmerCorrector:
 
     def correct_batch(self, reads: list[str]) -> list[str]:
         return [self.correct(r) for r in reads]
+
+
+# ---------------------------------------------------------------------------
+# Faithful nvLighter (reference: Non-CDP/NvB/nvLighter)
+# ---------------------------------------------------------------------------
+
+
+class _KmerCode:
+    """utils.h:75-138 KmerCode: rolling big-endian 2-bit code with an
+    `invalid` countdown tracking the most recent N."""
+
+    __slots__ = ("mask", "code", "len", "invalid")
+
+    def __init__(self, k: int):
+        self.mask = (1 << (2 * k)) - 1
+        self.code = 0
+        self.len = k
+        self.invalid = -1
+
+    def copy(self) -> "_KmerCode":
+        o = _KmerCode.__new__(_KmerCode)
+        o.mask, o.code, o.len, o.invalid = (
+            self.mask, self.code, self.len, self.invalid)
+        return o
+
+    def restart(self):
+        self.code = 0
+        self.invalid = -1
+
+    def push_back(self, c: int):
+        if self.invalid != -1:
+            self.invalid += 1
+        self.code = ((self.code << 2) & self.mask) | (c & 3)
+        if c >= 4:
+            self.invalid = 0
+        if self.invalid >= self.len:
+            self.invalid = -1
+
+    def push_front(self, c: int):
+        self.shift_right(1)
+        if c >= 4:
+            self.invalid = self.len - 1
+        self.code = (self.code | ((c & 3) << (2 * (self.len - 1)))) & self.mask
+
+    def shift_right(self, k: int):
+        if self.invalid != -1:
+            self.invalid -= k
+        self.code = (self.code >> (2 * k)) & (self.mask >> (2 * k))
+        if self.invalid < 0:
+            self.invalid = -1
+
+    def is_valid(self) -> bool:
+        return self.invalid == -1
+
+
+def _binom_cdf(n: int, p: float) -> np.ndarray:
+    """P(X <= j) for X ~ Binomial(n, p), j = 0..n (log-space pmf)."""
+    import math
+
+    j = np.arange(n + 1, dtype=np.float64)
+    logc = (
+        np.array([math.lgamma(n + 1) for _ in range(n + 1)])
+        - np.array([math.lgamma(v + 1) for v in j])
+        - np.array([math.lgamma(n - v + 1) for v in j])
+    )
+    p = min(max(p, 1e-12), 1 - 1e-12)
+    logpmf = logc + j * math.log(p) + (n - j) * math.log(1 - p)
+    return np.cumsum(np.exp(logpmf))
+
+
+class LighterCorrector:
+    """The actual Lighter algorithm (reference: Non-CDP/NvB/nvLighter):
+
+    pass 1 (sample_kmers.cu:55-142)    sample k-mers with probability
+        alpha into Bloom filter A;
+    threshold (nvLighter.cu:496-558)   per-coverage trust thresholds
+        from the binomial tail of the sampling process, with the
+        filter's measured FP rate folded in;
+    pass 2 (sample_kmers.cu:305-460)   mark positions covered by more
+        sampled k-mers than the threshold; k-mers made of k trusted
+        positions in a row go into the trusted Bloom filter B;
+    pass 3 (error_correct.cu:85-716)   per read: solid-kmer array,
+        longest solid anchor, bidirectional greedy extension choosing
+        the base that extends the trusted run furthest (ambiguity and
+        max-correction caps as in the reference), then apply fixes.
+
+    alpha defaults to nvLighter's inference: 7 / coverage
+    (nvLighter.cu:169) with coverage = total_bases / genome_size.
+    """
+
+    def __init__(self, k: int = 17, genome_size: int | None = None,
+                 alpha: float | None = None, bloom_bits: int = 1 << 24,
+                 max_correction: float = 4.0, seed: int = 0,
+                 bad_quality: int = -1, new_quality: int | None = None):
+        self.k = k
+        self.genome_size = genome_size
+        self.alpha = alpha
+        self.bloom_bits = bloom_bits
+        self.max_correction = float(max_correction)
+        self.seed = seed
+        self.bad_quality = bad_quality
+        self.new_quality = new_quality
+        self.sampled: BloomFilter | None = None
+        self.trusted: BloomFilter | None = None
+        self.threshold: np.ndarray | None = None
+
+    # -- passes 1 + 2 -----------------------------------------------------
+
+    def _read_kmers(self, codes: np.ndarray):
+        """(keys, valid) for every k-mer start of one read (2-bit codes,
+        255 where N)."""
+        n, k = len(codes), self.k
+        if n < k:
+            return np.zeros(0, np.uint64), np.zeros(0, bool)
+        keys = qgrams_of(np.where(codes == 255, 0, codes), k)
+        win_n = np.lib.stride_tricks.sliding_window_view(codes == 255, k)
+        valid = ~win_n.any(axis=1)
+        return keys.astype(np.uint64), valid
+
+    def build(self, reads: list[str]) -> None:
+        rng = np.random.default_rng(self.seed)
+        k = self.k
+        alpha = self.alpha
+        if alpha is None:
+            total = sum(len(r) for r in reads)
+            gsize = self.genome_size or max(total // 10, 1)
+            coverage = max(total / gsize, 7.0)
+            alpha = 7.0 / coverage            # nvLighter.cu:169
+        self._alpha = alpha
+
+        enc = [encode2(r) for r in reads]
+        kmers = [self._read_kmers(c) for c in enc]
+
+        # ---- pass 1: sampled filter A ----
+        A = BloomFilter(self.bloom_bits, k=4)
+        for keys, valid in kmers:
+            if not len(keys):
+                continue
+            pick = valid & (rng.random(len(keys)) < alpha)
+            if pick.any():
+                A.insert(keys[pick])
+        self.sampled = A
+
+        # ---- threshold table (nvLighter.cu:531-558) ----
+        occupancy = (
+            np.unpackbits(A.words.view(np.uint8)).sum() / float(A.n_bits)
+        )
+        FP = float(occupancy) ** A.k
+        thr = np.zeros(k + 1, np.int64)
+        d = int(0.1 / alpha * 2)
+        if d < 2:
+            d = 2
+        p = 1.0 - (1.0 - alpha) ** d
+        pf = p + FP - p * FP
+        for i in range(1, k + 1):
+            cdf = _binom_cdf(i, pf)
+            sel = np.nonzero(cdf >= 1 - 0.5e-2)[0]
+            thr[i] = sel[0] if len(sel) else i
+        self.threshold = thr
+        self.fp_rate = FP
+
+        # ---- pass 2: trusted filter B ----
+        B = BloomFilter(self.bloom_bits, k=4)
+        for codes, (keys, valid) in zip(enc, kmers):
+            n = len(codes)
+            if n < k:
+                continue
+            occur = np.zeros(len(keys), bool)
+            if valid.any():
+                occur[valid] = A.query(keys[valid])
+            # one_cnt[j] = sampled k-mers covering position j
+            cs = np.concatenate([[0], np.cumsum(occur)])
+            j = np.arange(n)
+            losub = np.clip(j - k + 1, 0, None)
+            hisub = np.minimum(j, len(keys) - 1)
+            one = cs[hisub + 1] - cs[losub]
+            cnt = hisub - losub + 1
+            trusted_pos = one > thr[cnt]
+            # k-in-a-row trusted AND char at the window end not N → the
+            # kmer (Ns inside shifted in as 'A', exactly as the
+            # reference's `kmer <<= 2` with no insert)
+            run = np.lib.stride_tricks.sliding_window_view(trusted_pos, k)
+            allt = run.all(axis=1) & (codes[k - 1:] != 255)
+            if allt.any():
+                B.insert(keys[allt])
+        self.trusted = B
+
+    # -- pass 3: correction (error_correct.cu transcription) --------------
+
+    def _is_trusted(self, kmer: _KmerCode) -> bool:
+        return kmer.is_valid() and bool(
+            self.trusted.query(np.array([kmer.code], np.uint64))[0]
+        )
+
+    def _mark_solid(self, read):
+        """Vectorized mark_solid_kmers (error_correct.cu:95-107): a
+        k-mer is solid iff N-free and in the trusted filter."""
+        K = self.k
+        codes = np.asarray(read)
+        keys, valid = self._read_kmers(
+            np.where(codes >= 4, 255, codes).astype(np.uint8)
+        )
+        solid = np.zeros(len(keys), bool)
+        if valid.any():
+            solid[valid] = self.trusted.query(keys[valid])
+        return solid
+
+    @staticmethod
+    def _longest_solid(kmer_count, solid):
+        longest, stored, begin = 0, 0, -1
+        for i in range(kmer_count):
+            if solid[i]:
+                stored += 1
+            else:
+                if longest < stored:
+                    longest, begin = stored, i - stored
+                stored = 0
+        if longest < stored:
+            longest, begin = stored, kmer_count - stored
+        if longest == 0:
+            return (0, 0)
+        if longest >= kmer_count:
+            return (begin, kmer_count)
+        return (begin, begin + longest)
+
+    def _best_right_change(self, read_len, read, frm, to, fixed_kmer):
+        K = self.k
+        best_kmer = None
+        best_to, best_change, best_count = -1, -1, 0
+        for j in range(4):
+            kmer = fixed_kmer.copy()
+            kmer.push_back(j)
+            if not self._is_trusted(kmer):
+                continue
+            if best_to == -1:
+                best_to = frm - 1
+            k = frm
+            while k <= to:
+                kmer.push_back(int(read[k]))
+                if not self._is_trusted(kmer):
+                    break
+                k += 1
+            if k > to and to == read_len - 1:
+                for _m in range(K - 1 - (to - frm + 1)):
+                    for l in range(4):
+                        tmp = kmer.copy()
+                        tmp.push_back(l)
+                        if self._is_trusted(tmp):
+                            kmer.push_back(l)
+                            k += 1
+                            break
+            if k > best_to:
+                best_count, best_to, best_change = 1, k, j
+                best_kmer = kmer
+            elif k == best_to:
+                best_count += 1
+                if k == frm and j == 0:
+                    best_count, best_change, best_kmer = 1, j, kmer
+                elif k == frm and best_change == 0:
+                    best_count = 1       # reference quirk (:237-238)
+        return best_kmer, best_to, best_change, best_count
+
+    def _check_right(self, tmp_kmer, read, pos, ln):
+        for t in range(ln):
+            tmp_kmer.push_back(int(read[pos + t]))
+            if not self._is_trusted(tmp_kmer):
+                return False
+        return True
+
+    def _adjust_right(self, read_len, read, kmer, pos):
+        K = self.k
+        if pos + K // 2 + 1 >= read_len:
+            return False
+        for c in range(4):
+            if c == int(read[pos - 1]):
+                continue
+            tmp = kmer.copy()
+            tmp.shift_right(1)
+            tmp.push_back(c)
+            if self._is_trusted(tmp) and self._check_right(
+                tmp.copy(), read, pos, K // 2 + 1
+            ):
+                return True
+        return False
+
+    def _fix_right(self, read_len, read, longest, fix, solid):
+        K = self.k
+        trim_start = read_len
+        bad_suffix = 0
+        ambiguous = False
+        longest_count = longest[1] - longest[0]
+        kmer_count = read_len - K + 1
+        i = longest[1]
+        kmer = _KmerCode(K)
+        if longest[1] >= kmer_count:
+            i = read_len + 1
+        elif longest_count < K:
+            for i in range(longest[1], longest[1] - 1 + K):
+                kmer.push_back(int(read[i]))
+            i = longest[1] - 1 + K
+        else:
+            for j in range(K // 2 - 1, -1, -1):
+                kmer.restart()
+                for i in range(longest[1] - j - 1, longest[1] - j + K - 1):
+                    kmer.push_back(int(read[i]))
+                i = longest[1] - j + K - 1
+                if self._adjust_right(read_len, read, kmer, i):
+                    i -= 1
+                    kmer.shift_right(1)
+                    break
+        while i < read_len:
+            frm = i + 1
+            to = i + K - 1 if i + K - 1 < read_len else read_len - 1
+            tmp_kmer, best_to, best_change, best_count = (
+                self._best_right_change(read_len, read, frm, to, kmer)
+            )
+            if best_to == -1 or (
+                best_count > 1 and (best_to <= to or to - i + 1 < K)
+            ):
+                trim_start = i
+                break
+            if best_count <= 1:
+                fix[i] = best_change
+            else:
+                fix[i] = -2
+                ambiguous = True
+            if best_to >= read_len:
+                break
+            if best_to <= to:
+                kmer = tmp_kmer.copy()
+                kmer.shift_right(1)
+                i = best_to
+            else:
+                knext = to - K + 2
+                while knext < kmer_count and solid[knext]:
+                    knext += 1
+                if knext >= kmer_count:
+                    break
+                kmer.restart()
+                for i in range(knext, knext + K - 1):
+                    kmer.push_back(int(read[i]) if fix[i] < 0 else fix[i])
+                i = knext + K - 1
+        return trim_start, bad_suffix, ambiguous
+
+    def _best_left_change(self, read_len, read, frm, to, fixed_kmer):
+        K = self.k
+        best_kmer = None
+        best_to, best_change, best_count = read_len + 1, -1, 0
+        for j in range(4):
+            kmer = fixed_kmer.copy()
+            kmer.push_front(j)
+            if not self._is_trusted(kmer):
+                continue
+            if best_to == read_len + 1:
+                best_to = frm + 1
+            k = frm
+            while k >= to:
+                kmer.push_front(int(read[k]))
+                if not self._is_trusted(kmer):
+                    break
+                k -= 1
+            if k < to and to == 0:
+                for _m in range(K - 1 - (frm - to + 1)):
+                    for l in range(4):
+                        tmp = kmer.copy()
+                        tmp.push_front(l)
+                        if self._is_trusted(tmp):
+                            kmer.push_front(l)
+                            k -= 1
+                            break
+            if k < best_to:
+                best_count, best_to, best_change = 1, k, j
+                best_kmer = kmer
+            elif k == best_to:
+                best_count += 1
+                if k == frm and j == int(read[frm + 1]):
+                    best_count, best_change, best_kmer = 1, j, kmer
+                elif k == frm and best_change == int(read[frm + 1]):
+                    best_count = 1
+        return best_kmer, best_to, best_change, best_count
+
+    def _check_left(self, tmp_kmer, read, pos, ln):
+        for t in range(ln):
+            tmp_kmer.push_front(int(read[pos - t]))
+            if not self._is_trusted(tmp_kmer):
+                return False
+        return True
+
+    def _adjust_left(self, read_len, read, kmer, pos):
+        K = self.k
+        if pos - 1 - K // 2 < 0:
+            return False
+        for c in range(4):
+            if c == int(read[pos]):
+                continue
+            tmp = kmer.copy()
+            tmp.push_back(0)
+            tmp.push_front(c)
+            if self._is_trusted(tmp) and self._check_left(
+                tmp.copy(), read, pos - 1, K // 2 + 1
+            ):
+                return True
+        return False
+
+    def _fix_left(self, read_len, read, longest, fix, solid):
+        K = self.k
+        bad_prefix = 0
+        ambiguous = False
+        longest_count = longest[1] - longest[0]
+        kmer = _KmerCode(K)
+        # NOTE deliberate deviation from the nvbio port: the reference's
+        # fix_left (error_correct.cu:525-529) force-skips whenever the
+        # anchor does not start at 0 and clobbers its starting index
+        # with for-loop exit values (:533-541 sets "the starting point
+        # i = longest_range.x - 1" and immediately overwrites it) —
+        # making the left half of mid-anchored reads uncorrectable.
+        # We run the INTENDED Lighter semantics: fix leftward from
+        # longest.x - 1 with the anchor-start kmer
+        # (read[x .. x+K-1) + 'A' placeholder, the same state the
+        # reference's own next-error branch (:605-617) constructs).
+        i = longest[0] - 1
+        if longest_count < K:
+            if longest[0] > 0:
+                kmer.restart()
+                for p in range(longest[0], longest[0] + K - 1):
+                    kmer.push_back(int(read[p]))
+                kmer.push_back(0)
+        else:
+            fired = False
+            for j in range(K // 2 - 1, -1, -1):
+                pos = longest[0] + j
+                kmer.restart()
+                for p in range(pos, pos + K):
+                    kmer.push_back(int(read[p]))
+                if self._adjust_left(read_len, read, kmer, pos):
+                    i = pos
+                    kmer.push_back(0)
+                    fired = True
+                    break
+            if not fired:
+                if longest[0] > 0:
+                    kmer.restart()
+                    for p in range(longest[0], longest[0] + K - 1):
+                        kmer.push_back(int(read[p]))
+                    kmer.push_back(0)
+                else:
+                    i = -1
+        while i >= 0:
+            frm = i - 1
+            to = max(i - K + 1, 0)
+            tmp_kmer, best_to, best_change, best_count = (
+                self._best_left_change(read_len, read, frm, to, kmer)
+            )
+            if best_to == read_len + 1 or (
+                best_count > 1 and (best_to >= to or i - to + 1 < K)
+            ):
+                bad_prefix = i + 1
+                break
+            if best_count <= 1:
+                fix[i] = best_change
+            else:
+                fix[i] = -2
+                ambiguous = True
+            if best_to < 0:
+                break
+            if best_to >= to:
+                kmer = tmp_kmer.copy()
+                kmer.push_front(0)
+                i = best_to
+            else:
+                knext = to - 1
+                while knext >= 0 and solid[knext]:
+                    knext -= 1
+                if knext < 0:
+                    break
+                kmer.restart()
+                for i in range(knext + 1, knext + K):
+                    kmer.push_back(int(read[i]) if fix[i] < 0 else fix[i])
+                i = knext
+                kmer.push_back(0)
+        return bad_prefix, ambiguous
+
+    def correct(self, read: str, qual: np.ndarray | None = None):
+        """Correct one read (error_correct.cu:624-716).
+
+        Returns (corrected_read, n_corrections) with n_corrections = -1
+        for unreliable reads (left unchanged)."""
+        assert self.trusted is not None, "call build() first"
+        K = self.k
+        codes = encode2(read).copy()
+        codes = np.where(codes == 255, 4, codes).astype(np.int64)
+        read_len = len(codes)
+        if read_len < K:
+            return read, 0
+        if qual is None:
+            qual = np.full(read_len, 40, np.int64)
+        solid = self._mark_solid(codes)
+        kmer_count = read_len - K + 1
+        fix = np.full(read_len, -1, np.int64)
+        longest = self._longest_solid(kmer_count, solid)
+        if longest[1] - longest[0] == 0:
+            return read, -1
+        if longest[1] - longest[0] >= kmer_count:
+            return read, 0
+        trim_start, bad_suffix, amb_r = self._fix_right(
+            read_len, codes, longest, fix, solid
+        )
+        bad_prefix, amb_l = self._fix_left(read_len, codes, longest, fix, solid)
+        ambiguous = amb_r or amb_l
+
+        # max-correction density cap (:672-687)
+        cc = 0.0
+        for i in range(read_len):
+            if i >= K and fix[i - K] >= 0 and codes[i - K] < 4:
+                cc -= 0.5 if qual[i - K] <= self.bad_quality else 1.0
+            if fix[i] >= 0 and codes[i] < 4:
+                cc += 0.5 if qual[i] <= self.bad_quality else 1.0
+            if cc > self.max_correction:
+                return read, -1
+
+        corrections = 0
+        out = codes.copy()
+        for i in range(bad_prefix, trim_start):
+            if fix[i] < 0:
+                continue
+            if out[i] != fix[i]:
+                out[i] = fix[i]
+                corrections += 1
+        bad_suffix = read_len - trim_start
+        if corrections == 0 and bad_prefix == 0 and bad_suffix == 0 and ambiguous:
+            return read, -1
+        fixed = "".join("ACGTN"[int(c)] for c in out)
+        return fixed, corrections
+
+    def correct_batch(self, reads: list[str]):
+        return [self.correct(r) for r in reads]

@@ -173,10 +173,16 @@ def backtrack(M: np.ndarray, center: str, seq: str, sub_table=None):
 # ---------------------------------------------------------------------------
 
 
-def msa(seqs: list[str], center_idx: int | None = None, matrix_path: str | None = None):
+def msa(seqs: list[str], center_idx: int | None = None,
+        matrix_path: str | None = None, mesh=None):
     """Center-star MSA.  Returns (aligned list[str] in input order,
     center_idx).  matrix_path: optional NCBI scoring matrix (the STAR
-    `-p scoring/BLOSUM62.txt` protein mode)."""
+    `-p scoring/BLOSUM62.txt` protein mode).
+
+    mesh: optional jax Mesh — the per-sequence NW batch is sharded over
+    its `data` axis (the multi_gpu_msa analog, reference:
+    CDP/STAR/cuda-nw.cu:358-431, which splits the workload across
+    cudaSetDevice loops; here XLA partitions the one jitted batch)."""
     sub_table = None
     if matrix_path:
         from genomics_tpu.core.submat import load_scoring_matrix
@@ -190,17 +196,24 @@ def msa(seqs: list[str], center_idx: int | None = None, matrix_path: str | None 
     max_len = max(len(s) for s in seqs)
 
     n_pad = max((len(s) for s in others), default=1)
-    arr = np.zeros((len(others), n_pad), np.uint8)
+    n_rows = len(others)
+    pad_b = 0 if mesh is None else (-n_rows) % mesh.devices.size
+    arr = np.zeros((n_rows + pad_b, n_pad), np.uint8)
     for k, s in enumerate(others):
         arr[k, : len(s)] = np.frombuffer(s.encode(), np.uint8)
     cenc = np.frombuffer(center.encode(), np.uint8)
+    arr_d = jnp.asarray(arr)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        arr_d = jax.device_put(arr_d, NamedSharding(mesh, P("data")))
     Ms = np.asarray(
         nw_matrices_batch(
             jnp.asarray(cenc),
-            jnp.asarray(arr),
+            arr_d,
             None if sub_table is None else jnp.asarray(sub_table),
         )
-    )
+    )[:n_rows]
 
     space = np.zeros((len(others), m + 1), np.int64)
     so = np.zeros((len(others), max_len + 1), np.int64)
@@ -234,9 +247,9 @@ def msa(seqs: list[str], center_idx: int | None = None, matrix_path: str | None 
     return out, center_idx
 
 
-def run_file(input_path: str, output_path: str | None = None):
+def run_file(input_path: str, output_path: str | None = None, mesh=None):
     recs = read_fasta(input_path)
-    aligned, center_idx = msa([r.seq for r in recs])
+    aligned, center_idx = msa([r.seq for r in recs], mesh=mesh)
     if output_path:
         with open(output_path, "w") as fh:
             for r, a in zip(recs, aligned):

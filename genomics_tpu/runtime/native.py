@@ -26,9 +26,10 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO_PATH) or (
-                os.path.getmtime(_SO_PATH)
-                < os.path.getmtime(os.path.join(_NATIVE_DIR, "cigar.cpp"))
+            srcs = [os.path.join(_NATIVE_DIR, f)
+                    for f in ("cigar.cpp", "sais.cpp")]
+            if not os.path.exists(_SO_PATH) or any(
+                os.path.getmtime(_SO_PATH) < os.path.getmtime(f) for f in srcs
             ):
                 subprocess.run(
                     ["make", "-s"], cwd=_NATIVE_DIR, check=True,
@@ -51,6 +52,17 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32),  # qstart
                 ctypes.POINTER(ctypes.c_int32),  # tstart
             ]
+            lib.gt_sais_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.gt_sais_u8.restype = ctypes.c_int
+            lib.gt_bwt_from_sa.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.gt_bwt_from_sa.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -131,3 +143,34 @@ def decode_tb_batch(
         qstart[b] = d["query_start"]
         tstart[b] = d["target_start"]
     return cigars, n_ops, qstart, tstart
+
+
+def sais_u8(text: np.ndarray) -> np.ndarray | None:
+    """Linear-time suffix array of a uint8 text via native SA-IS
+    (native/sais.cpp — the nvbio/sufsort replacement).  Returns the
+    (n+1)-entry SA including the appended sentinel at index 0, or None
+    if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, np.uint8)
+    n = len(text)
+    sa = np.empty(n + 1, np.int32)
+    rc = lib.gt_sais_u8(_ptr(text, ctypes.c_uint8), n, _ptr(sa, ctypes.c_int32))
+    return sa if rc == 0 else None
+
+
+def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """BWT bytes from text + its (n+1)-entry SA (0xFF at the sentinel)."""
+    lib = _load()
+    text = np.ascontiguousarray(text, np.uint8)
+    sa = np.ascontiguousarray(sa, np.int32)
+    n = len(text)
+    out = np.empty(n + 1, np.uint8)
+    if lib is not None:
+        lib.gt_bwt_from_sa(_ptr(text, ctypes.c_uint8), n,
+                           _ptr(sa, ctypes.c_int32), _ptr(out, ctypes.c_uint8))
+        return out
+    sa64 = sa.astype(np.int64)
+    out[:] = np.where(sa64 == 0, 0xFF, text[np.maximum(sa64 - 1, 0)])
+    return out

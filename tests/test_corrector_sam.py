@@ -37,3 +37,61 @@ def test_sam_writer(tmp_path):
     assert lines[0].startswith("@HD")
     assert "chr1\t10\t42\t4M" in lines[3].replace(" ", "")
     assert lines[4].split("\t")[1] == "4"  # unmapped flag
+
+
+def test_lighter_corrector_full_algorithm():
+    """Faithful Lighter (sample → threshold → trusted-Bloom → correct):
+    fixes most synthetic errors, never corrupts clean reads, and stays
+    within a few percent of the exact-count oracle while using fixed
+    Bloom memory (reference: Non-CDP/NvB/nvLighter)."""
+    import numpy as np
+
+    from genomics_tpu.models.corrector import LighterCorrector
+
+    rng = np.random.default_rng(0)
+    genome = "".join(rng.choice(list("ACGT"), 8000))
+    L, cov = 100, 70
+    reads, truths = [], []
+    for _ in range(len(genome) * cov // L):
+        p = rng.integers(0, len(genome) - L)
+        r = list(genome[p : p + L])
+        truths.append("".join(r))
+        for q in rng.choice(L, size=rng.integers(0, 3), replace=False):
+            r[q] = rng.choice([c for c in "ACGT" if c != r[q]])
+        reads.append("".join(r))
+
+    corr = LighterCorrector(k=17, genome_size=len(genome),
+                            bloom_bits=1 << 21, seed=1)
+    corr.build(reads)
+    # threshold table exists and is monotone-ish (nvLighter.cu:543-553)
+    assert corr.threshold is not None and corr.threshold[1] >= 0
+    out = corr.correct_batch(reads[:300])
+    n_err = sum(1 for r, t in zip(reads[:300], truths[:300]) if r != t)
+    fixed = sum(
+        1 for (f, c), r, t in zip(out, reads[:300], truths[:300])
+        if r != t and f == t
+    )
+    broke = sum(
+        1 for (f, c), r, t in zip(out, reads[:300], truths[:300])
+        if r == t and f != t
+    )
+    assert broke == 0
+    assert fixed >= 0.75 * n_err, (fixed, n_err)
+
+
+def test_lighter_unreliable_read():
+    """A read with no trusted k-mer returns -1 unchanged
+    (error_correct.cu:662-663)."""
+    import numpy as np
+
+    from genomics_tpu.models.corrector import LighterCorrector
+
+    rng = np.random.default_rng(2)
+    genome = "".join(rng.choice(list("ACGT"), 4000))
+    reads = [genome[i : i + 80] for i in range(0, 3900, 2)]
+    corr = LighterCorrector(k=17, genome_size=len(genome),
+                            bloom_bits=1 << 20, seed=1)
+    corr.build(reads)
+    alien = "".join(rng.choice(list("ACGT"), 80))
+    f, c = corr.correct(alien)
+    assert c == -1 and f == alien

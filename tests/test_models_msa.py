@@ -88,3 +88,22 @@ def test_submat_loader():
     assert t[ord("A"), ord("A")] == 4
     assert t[ord("W"), ord("W")] == 11
     assert t[ord("a"), ord("r")] == -1
+
+
+def test_msa_sharded_matches_single():
+    """multi-GPU-msa analog: the per-sequence NW batch sharded over the
+    8-device mesh produces identical alignments (cuda-nw.cu:358-431)."""
+    import jax
+
+    from genomics_tpu.parallel import data_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(4)
+    seqs = ["".join(rng.choice(list("ACGT"), rng.integers(30, 60)))
+            for _ in range(13)]
+    a1, c1 = M.msa(seqs)
+    a2, c2 = M.msa(seqs, mesh=data_mesh(8))
+    assert c1 == c2 and a1 == a2

@@ -129,3 +129,86 @@ def test_mem_seeder():
     seeds = seed_positions(fm, read, min_len=20)
     assert any(abs(pos - p) <= 1 for _, pos in seeds)
     assert any(abs(pos - p2) <= 1 for _, pos in seeds)
+
+
+def test_sais_native_parity():
+    """native SA-IS (native/sais.cpp) == numpy prefix doubling."""
+    from genomics_tpu.index.fmindex import suffix_array
+    from genomics_tpu.runtime import native
+
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 7, 64, 1000, 20000):
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        sa = native.sais_u8(codes)
+        if sa is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        t = np.concatenate([codes.astype(np.int64), [-1]])
+        ref = suffix_array(t + 1)
+        assert (sa.astype(np.int64) == ref).all()
+
+
+def test_fmindex_sampled_matches_full():
+    """Sampled occ/SA (nvbio rank-dict + SSA design) gives identical
+    search/locate results to the full tables."""
+    from genomics_tpu.index.fmindex import FMIndex
+    from genomics_tpu.index.qgram import encode2
+
+    rng = np.random.default_rng(6)
+    text = "".join(rng.choice(list("ACGT"), 60000))
+    full = FMIndex(text, sa_rate=1)
+    samp = FMIndex(text, sa_rate=16, occ_rate=32)
+    qs = [text[rng.integers(0, len(text) - 30):][:30] for _ in range(32)]
+    Q = np.stack([encode2(q) for q in qs])
+    ql = np.full(32, 30)
+    lo1, hi1 = full.backward_search(Q, ql)
+    lo2, hi2 = samp.backward_search(Q, ql)
+    assert (lo1 == lo2).all() and (hi1 == hi2).all()
+    for i in range(32):
+        p1 = full.locate(int(lo1[i]), int(hi1[i]))
+        p2 = samp.locate(int(lo2[i]), int(hi2[i]))
+        assert (p1 == p2).all()
+        assert text[p1[0] : p1[0] + 30] == qs[i]
+
+
+def test_bam_reader_roundtrip(tmp_path):
+    """write_bam → read_bam round-trip (nvExtractReads input side)."""
+    from genomics_tpu.models.mapper import Mapping
+    from genomics_tpu.utils import bamio
+
+    p = str(tmp_path / "t.bam")
+    maps = [
+        Mapping(pos=11, score=50, mapq=42, cigar_string="30M"),
+        Mapping(pos=-1, score=0, mapq=0, cigar_string=""),
+    ]
+    seqs = ["ACGTACGTACGTACGTACGTACGTACGTAC", "TTTTACGTACGTACGTACGTACGTACGTAC"]
+    bamio.write_bam(p, "ref", 500,
+                    [("r0", seqs[0], maps[0]), ("r1", seqs[1], maps[1])])
+    header, refs, recs = bamio.read_bam(p)
+    assert refs == [("ref", 500)]
+    assert len(recs) == 2
+    assert recs[0].seq == seqs[0]
+    assert recs[0].pos == 10 and recs[0].mapq == 42
+    assert recs[0].cigar == "30M"
+    assert recs[1].flag & 0x4             # unmapped
+
+
+def test_fmindex_save_load(tmp_path):
+    """FM-index persistence (nvBWT/nvSSA/nvFM-server analog)."""
+    from genomics_tpu.index.fmindex import FMIndex, load_index, save_index
+    from genomics_tpu.index.qgram import encode2
+
+    rng = np.random.default_rng(9)
+    text = "".join(rng.choice(list("ACGT"), 30000))
+    fm = FMIndex(text, sa_rate=16)
+    path = str(tmp_path / "idx.npz")
+    save_index(fm, path)
+    fm2 = load_index(path)
+    q = text[5000:5030]
+    Q = encode2(q)[None, :]
+    lo1, hi1 = fm.backward_search(Q, np.array([30]))
+    lo2, hi2 = fm2.backward_search(Q, np.array([30]))
+    assert (lo1 == lo2).all() and (hi1 == hi2).all()
+    assert (fm.locate(int(lo1[0]), int(hi1[0]))
+            == fm2.locate(int(lo2[0]), int(hi2[0]))).all()
