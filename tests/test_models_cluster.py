@@ -69,9 +69,8 @@ def test_cluster_reference_fixture():
     NOTE on parity: the bundled result.fasta lists all 1000 reads as
     representatives (zero merges), but the reference's own accept rule
     (LCS > ceil(len*0.95), kernel_dynamic func.cu:707-712) demands
-    merges — e.g. the two ~1550bp reads with LCS 1480 > cutoff 1471 are
-    >95% similar and MUST cluster.  Our kernel is validated against a
-    DP LCS gold, so we assert algorithmic behavior (substantial
+    merges.  test_fixture_internal_inconsistency below PROVES this with
+    a concrete pair; here we assert algorithmic behavior (substantial
     clustering at 0.95), not the internally-inconsistent fixture."""
     path = "/root/reference/CDP/CLUSTER/testData.fasta"
     if not os.path.exists(path):
@@ -79,6 +78,42 @@ def test_cluster_reference_fixture():
     res = C.run_file(path, threshold=0.95)
     assert 300 <= res.n_clusters <= 1000
     assert (res.cluster >= 0).all()
+
+
+def test_fixture_internal_inconsistency():
+    """Machine-checked counterexample justifying the loose fixture
+    assertion above: reads D85704.1 and L06108.1 (Chlamydophila felis /
+    pneumoniae 16S) have exact DP LCS 1480 >= ceil(min_len * 0.95) =
+    1471, so the reference's accept rule MUST merge them — yet
+    result.fasta keeps both as representatives.  The bundled expected
+    output therefore cannot have been produced by the bundled
+    algorithm's accept rule at 0.95."""
+    import math
+    import re
+
+    from genomics_tpu.utils.fasta import read_fasta
+
+    path = "/root/reference/CDP/CLUSTER/testData.fasta"
+    rpath = "/root/reference/CDP/CLUSTER/result.fasta"
+    if not (os.path.exists(path) and os.path.exists(rpath)):
+        pytest.skip("reference fixtures not mounted")
+    recs = {r.name.split()[0]: r.seq for r in read_fasta(path)}
+    a = re.sub("[^ACGTUacgtu]", "", recs["2940"]).upper()
+    b = re.sub("[^ACGTUacgtu]", "", recs["2948"]).upper()
+    n, m = len(a), len(b)
+    prev = np.zeros(m + 1, np.int32)
+    bb = np.frombuffer(b.encode(), np.uint8)
+    for i in range(1, n + 1):
+        diag = prev[:-1] + (bb == ord(a[i - 1]))
+        cur = np.zeros(m + 1, np.int32)
+        cur[1:] = np.maximum(prev[1:], diag)
+        np.maximum.accumulate(cur, out=cur)     # LCS rows are monotone
+        prev = cur
+    lcs = int(prev[-1])
+    cutoff = math.ceil(min(n, m) * 0.95)
+    assert lcs >= cutoff, (lcs, cutoff)
+    result_names = {r.name.split()[0] for r in read_fasta(rpath)}
+    assert "2940" in result_names and "2948" in result_names
 
 
 def test_word_length_auto():

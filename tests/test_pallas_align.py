@@ -153,3 +153,26 @@ def test_banded_kernel_matches_scan():
         np.testing.assert_array_equal(
             np.asarray(res.query_end), np.asarray(ref.query_end)
         )
+
+
+def test_intertask_tb_kernel_matches_scan():
+    """Inter-task TB kernel (strips as a grid dimension) produces the
+    same packed nibble matrices and results as the scan engine."""
+    import jax.numpy as jnp
+
+    from genomics_tpu.ops import pallas_align, scan_align
+    from genomics_tpu.runtime.dispatch import _pack_nibbles_np
+
+    rng = np.random.default_rng(3)
+    B, Lq, Lt = 2048, 16, 16
+    q = jnp.asarray(rng.integers(0, 4, (B, Lq)) * 2 + 1, jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, Lt)) * 2 + 1, jnp.uint8)
+    r1 = pallas_align._local_align_intertask_tb(q, t, P)
+    r2 = scan_align.local_align_batch(q, t, P, with_tb=True)
+    np.testing.assert_array_equal(np.asarray(r1.score), np.asarray(r2.score))
+    np.testing.assert_array_equal(np.asarray(r1.query_end),
+                                  np.asarray(r2.query_end))
+    np.testing.assert_array_equal(np.asarray(r1.target_end),
+                                  np.asarray(r2.target_end))
+    packed2 = _pack_nibbles_np(np.asarray(r2.tb))
+    np.testing.assert_array_equal(np.asarray(r1.tb), packed2)

@@ -116,3 +116,37 @@ def test_engine_semiglobal_with_start():
         assert res[i].score == g["score"]
         assert res[i].target_start == g["target_start"]
         assert res[i].query_start == g["query_start"]
+
+
+def test_pallas_with_start_matches_scan():
+    """Pallas reverse-pass kernel (pallas_align.local_start_tpu) ==
+    the visit-order scan core, end to end through
+    local_align_with_start (interpret mode on CPU)."""
+    from genomics_tpu.core.encoding import encode4, N4
+
+    rng = np.random.default_rng(77)
+    qs = ["".join(rng.choice(list("ACGT"), rng.integers(5, 60)))
+          for _ in range(32)]
+    ts = ["".join(rng.choice(list("ACGT"), rng.integers(5, 80)))
+          for _ in range(32)]
+    Lq = max(((len(s) + 7) // 8) * 8 for s in qs)
+    Lt = max(((len(s) + 7) // 8) * 8 for s in ts)
+    qb = np.full((32, Lq), N4, np.uint8)
+    tb = np.full((32, Lt), N4, np.uint8)
+    ql = np.zeros(32, np.int64)
+    tl = np.zeros(32, np.int64)
+    for i, (a, b) in enumerate(zip(qs, ts)):
+        ea, eb = encode4(a), encode4(b)
+        qb[i, : len(ea)] = ea
+        tb[i, : len(eb)] = eb
+        ql[i] = len(ea)
+        tl[i] = len(eb)
+    s1 = F.local_align_with_start(qb, tb, ql, tl, P, use_pallas=False)
+    s2 = F.local_align_with_start(qb, tb, ql, tl, P, use_pallas=True)
+    for k in range(5):
+        np.testing.assert_array_equal(np.asarray(s1[k]), np.asarray(s2[k]))
+    for i in range(0, 32, 5):
+        g = golds.local_align(qs[i], ts[i], P, with_start=True)
+        assert s2[0][i] == g["score"]
+        assert s2[3][i] == g["query_start"]
+        assert s2[4][i] == g["target_start"]
