@@ -6,13 +6,17 @@ Prints ONE JSON line:
    "vs_baseline": N / 10.0}
 Baseline = the driver's 10 GCUPS/chip target (BASELINE.md); the
 reference's own best published single-GPU figure is 157.73 GCUPS
-(SW-Gotoh, GTX TITAN BLACK, CDP/NvB/prototypes/psa/README.md:34).
+(SW-Gotoh, GTX TITAN BLACK, CDP/NvB/prototypes/psa/README.md:34 —
+a score-only benchmark, like this one).
 
 Method: GASAL2's test shape (150bp Illumina-style reads, padded 152),
-B=16384 alignments per kernel, a chain of kernel invocations inside one
-jit so device throughput is measured rather than the host<->device
-tunnel latency of this environment.  A gold-parity spot check guards
-against benchmarking a wrong kernel.
+B=65536 alignments per kernel on the TIME-MAJOR score-only Pallas path
+(ops/pallas_align.local_align_scores_tm — the layout the runtime packs
+into host-side, so no device transpose).  A chain of kernel calls
+inside one jit amortizes this environment's ~24 ms host<->device tunnel
+latency per dispatch; each call's input is derived from the previous
+call's OUTPUT so XLA cannot common-subexpression-eliminate the chain.
+A gold-parity spot check guards against benchmarking a wrong kernel.
 """
 import json
 import sys
@@ -31,35 +35,40 @@ def main():
 
     params = AlignmentParams()
     rng = np.random.default_rng(0)
-    B, Lq, Lt = 16384, 152, 152
-    CHAIN = 100   # long chain amortizes the host<->device tunnel latency (~16ms/call here)
+    B, Lq, Lt = 65536, 152, 152
+    CHAIN = 150
 
-    q = jnp.asarray(rng.integers(0, 4, (B, Lq)) * 2 + 1, jnp.uint8)  # ACGT-ish codes
-    t = jnp.asarray(rng.integers(0, 4, (B, Lt)) * 2 + 1, jnp.uint8)
+    qh = np.asarray(rng.integers(0, 4, (B, Lq)) * 2 + 1, np.uint8)
+    th = np.asarray(rng.integers(0, 4, (B, Lt)) * 2 + 1, np.uint8)
+    Q = jnp.asarray(np.ascontiguousarray(qh.T))   # host-side time-major pack
+    T = jnp.asarray(np.ascontiguousarray(th.T))
 
     # parity spot check on a small slice (scores vs CPU gold)
-    qs = np.asarray(q[:4])
-    ts = np.asarray(t[:4])
-    res = pallas_align.local_align_tpu(q[:128], t[:128], params)
-    scores = np.asarray(res.score[:4])
+    scores = np.asarray(
+        pallas_align.local_align_scores_tm(Q[:, :2048], T[:, :2048], params,
+                                           has_n=False)[:4])
     for i in range(4):
-        g = golds.local_align(qs[i], ts[i], params)
-        assert scores[i] == g["score"], f"parity failure at {i}: {scores[i]} vs {g['score']}"
+        g = golds.local_align(qh[i], th[i], params)
+        assert scores[i] == g["score"], \
+            f"parity failure at {i}: {scores[i]} vs {g['score']}"
 
     @jax.jit
-    def chain(q, t):
+    def chain(Q, T):
         acc = jnp.int32(0)
+        x = Q
         for k in range(CHAIN):
-            r = pallas_align.local_align_tpu(jnp.roll(q, k, 0), t, params)
-            acc = acc + r.score.sum()
+            r = pallas_align._local_align_scores_tm_jit(x, T, params, False)
+            acc = acc + r.sum()
+            # feed scores back into the next input: a real data dependency
+            x = jnp.bitwise_xor(Q, (r.reshape(1, B) & 2).astype(jnp.uint8))
         return acc
 
-    x = chain(q, t)
+    x = chain(Q, T)
     _ = float(x)  # warm: compile + first run
     best = 0.0
     for _rep in range(3):
         t0 = time.time()
-        x = chain(q, t)
+        x = chain(Q, T)
         _ = float(x)
         dt = time.time() - t0
         gcups = CHAIN * B * Lq * Lt / dt / 1e9

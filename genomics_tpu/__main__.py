@@ -99,6 +99,26 @@ def main(argv=None):
     p.add_argument("--min-insert", type=int, default=0)
     p.add_argument("--max-insert", type=int, default=500)
 
+    p = sub.add_parser(
+        "assemble", help="local micro-assembly + variant calls "
+        "(nvMicroAssembly)")
+    p.add_argument("-r", "--reference", required=True,
+                   help="FASTA with the reference window")
+    p.add_argument("-q", "--reads", required=True,
+                   help="FASTA/FASTQ of region reads")
+    p.add_argument("-k", "--kmer", type=int, default=10)
+    p.add_argument("--k-best", type=int, default=12)
+    p.add_argument("--min-edge-weight", type=int, default=2)
+
+    p = sub.add_parser(
+        "alndiff", help="diff two SAM/BAM alignment files "
+        "(nvbio-aln-diff)")
+    p.add_argument("file1")
+    p.add_argument("file2")
+    p.add_argument("--paired", action="store_true")
+    p.add_argument("--report", default=None, help="HTML report path")
+    p.add_argument("--no-id-check", action="store_true")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "nw":
@@ -268,6 +288,29 @@ def main(argv=None):
                 args.output, rname, len(contigs[0][1]), recs)
             mapped = sum(m.pos >= 0 for m in maps)
             print(f"mapped {mapped}/{len(reads)} → {args.output}")
+    elif args.cmd == "assemble":
+        from genomics_tpu.models.assembly import local_assembly
+        from genomics_tpu.utils.fasta import read_fasta, read_fastq
+
+        ref = read_fasta(args.reference)[0].seq
+        reads = (read_fastq(args.reads)
+                 if args.reads.endswith((".fastq", ".fq")) else
+                 read_fasta(args.reads))
+        haps, variants = local_assembly(
+            ref, [r.seq for r in reads], k=args.kmer, k_best=args.k_best,
+            min_edge_weight=args.min_edge_weight)
+        for i, h in enumerate(haps):
+            print(f"hap {i}\tscore={h.score:.4g}\t{h.seq}")
+        for v in variants:
+            print(f"variant\t{v.pos}\t{v.kind}\t{v.ref}>{v.alt}")
+        print(f"{len(haps)} haplotypes, {len(variants)} variants")
+    elif args.cmd == "alndiff":
+        from genomics_tpu.models.alndiff import diff
+
+        analyzer = diff(args.file1, args.file2, paired=args.paired,
+                        report=args.report, id_check=not args.no_id_check)
+        print(f"analyzed {analyzer.n} alignments"
+              + (f"; report → {args.report}" if args.report else ""))
     return 0
 
 

@@ -297,6 +297,159 @@ def _local_kernel_intertask(q_ref, t_ref, out_score, out_qend, out_tend,
     out_tend[...] = jnp.where(nz, tend, 0)
 
 
+def _local_kernel_intertask_score(q_ref, t_ref, out_score,
+                                  hcol_ref, ecol_ref, *,
+                                  params, Lq, Lt, with_n):
+    """Score-only inter-task kernel — the speed-of-light path.
+
+    Same walk as _local_kernel_intertask but tracks only the running
+    max (no end-position key: 1 op instead of 3/cell) and, when the
+    dispatcher has verified the batch contains no N codes, skips the
+    N-penalty lane entirely (2 more ops/cell).  ~11 VPU ops per DP
+    cell.  This is the honest analog of the reference's published
+    GCUPS numbers, which are score-only SW-Gotoh benchmarks
+    (CDP/NvB/prototypes/psa/README.md:28-44)."""
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    ij = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    )
+    zero = jnp.minimum(ij, 0)
+    nbig = zero + jnp.int32(NEG_BIG)
+
+    hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
+    ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
+
+    UNROLL = 8 if Lq % 8 == 0 else (4 if Lq % 4 == 0 else 1)
+
+    def strip(ib, M):
+        # .astype is a no-op for i32 inputs; for u8 time-major inputs it
+        # is one ext per strip/row (amortized over 8 cells)
+        t_strip = t_ref[pl.ds(ib * 8, 8), :, :].astype(jnp.int32)
+        t_is_n = (t_strip == N4) if with_n else None
+
+        def do_row(j, Hprev, W, diag0, M):
+            q_j = q_ref[pl.ds(j, 1), :, :][0].astype(jnp.int32)
+            q_is_n = (q_j == N4) if with_n else None
+            hcol_j = hcol_ref[pl.ds(j, 1), :, :][0]
+            e_state = ecol_ref[pl.ds(j, 1), :, :][0]
+            h_new = []
+            w_new = []
+            for c in range(8):
+                eq = q_j == t_strip[c]
+                s = jnp.where(eq, jnp.int32(params.match),
+                              jnp.int32(-params.mismatch))
+                if with_n:
+                    is_n = q_is_n | t_is_n[c]
+                    s = jnp.where(
+                        is_n,
+                        jnp.int32(-params.n_penalty
+                                  if params.n_penalty is not None else 0),
+                        s)
+                diag = diag0 if c == 0 else Hprev[c - 1]
+                tmp = diag + s
+                u = W[c]
+                h = jnp.maximum(jnp.maximum(tmp, u),
+                                jnp.maximum(e_state, 0))
+                M = jnp.maximum(M, h)
+                tmpg = tmp - goe
+                w_new.append(jnp.maximum(tmpg, u - ge))
+                e_state = jnp.maximum(tmpg, e_state - ge)
+                h_new.append(h)
+            hcol_ref[pl.ds(j, 1), :, :] = h_new[7][None]
+            ecol_ref[pl.ds(j, 1), :, :] = e_state[None]
+            return (h_new, w_new, hcol_j, M)
+
+        def row(j, rc):
+            Hprev, W, diag0, M = rc
+            jj = j * UNROLL
+            for u_i in range(UNROLL):
+                Hprev, W, diag0, M = do_row(jj + u_i, Hprev, W, diag0, M)
+            return (Hprev, W, diag0, M)
+
+        init = ([zero] * 8, [nbig] * 8, zero, M)
+        return jax.lax.fori_loop(0, Lq // UNROLL, row, init)[3]
+
+    M = jax.lax.fori_loop(0, Lt // 8, strip, zero)
+    out_score[...] = M
+
+
+def _local_kernel_intertask_score16(q_ref, t_ref, out_score,
+                                    hcol_ref, ecol_ref, *, params, Lq, Lt):
+    """int16 score-only inter-task kernel: 2x VPU density.
+
+    The full int16 kernel is blocked on this target by Mosaic's lack of
+    packed-i16 COMPARES — but score-only tracking needs no compare at
+    all: the best-score carry is a max, and the substitution select is
+    replaced by arithmetic on the XOR of the 4-bit base codes:
+
+        d = q ^ t            (0 iff equal)
+        s = match - (match+mismatch) * min(d, 1)
+
+    N handling is the dispatcher's job (this kernel is only chosen for
+    batches verified N-free).  Value-range: h clamps at 0 so the merged
+    chains floor at -(mismatch+gap_oe); scores fit iff
+    Lq*match < 32767 (checked by the dispatcher).
+
+    Mosaic note: packed-i16 cmpi/minsi don't legalize on v5e, so the
+    substitution select runs in i32 (cmp+select+trunc — 2.5 eff ops)
+    while the DP core (add/sub/max) stays packed i16 at 2x density."""
+    goe = jnp.int16(params.gap_oe)
+    ge = jnp.int16(params.gap_extend)
+    ij = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    )
+    zero = jnp.minimum(ij, 0).astype(jnp.int16)
+    nbig = zero + jnp.int16(-(1 << 12))
+
+    hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int16)
+    ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int16)
+
+    UNROLL = 8 if Lq % 8 == 0 else (4 if Lq % 4 == 0 else 1)
+
+    def strip(ib, M):
+        t32 = t_ref[pl.ds(ib * 8, 8), :, :]               # int32
+
+        def do_row(j, Hprev, W, diag0, M):
+            q32 = q_ref[pl.ds(j, 1), :, :][0]             # int32
+            hcol_j = hcol_ref[pl.ds(j, 1), :, :][0]
+            e_state = ecol_ref[pl.ds(j, 1), :, :][0]
+            h_new = []
+            w_new = []
+            for c in range(8):
+                s = jnp.where(q32 == t32[c],
+                              jnp.int32(params.match),
+                              jnp.int32(-params.mismatch)).astype(jnp.int16)
+                diag = diag0 if c == 0 else Hprev[c - 1]
+                tmp = diag + s
+                u = W[c]
+                h = jnp.maximum(jnp.maximum(tmp, u),
+                                jnp.maximum(e_state, jnp.int16(0)))
+                M = jnp.maximum(M, h)
+                tmpg = tmp - goe
+                w_new.append(jnp.maximum(tmpg, u - ge))
+                e_state = jnp.maximum(tmpg, e_state - ge)
+                h_new.append(h)
+            hcol_ref[pl.ds(j, 1), :, :] = h_new[7][None]
+            ecol_ref[pl.ds(j, 1), :, :] = e_state[None]
+            return (h_new, w_new, hcol_j, M)
+
+        def row(j, rc):
+            Hprev, W, diag0, M = rc
+            jj = j * UNROLL
+            for u_i in range(UNROLL):
+                Hprev, W, diag0, M = do_row(jj + u_i, Hprev, W, diag0, M)
+            return (Hprev, W, diag0, M)
+
+        init = ([zero] * 8, [nbig] * 8, zero, M)
+        return jax.lax.fori_loop(0, Lq // UNROLL, row, init)[3]
+
+    M = jax.lax.fori_loop(0, Lt // 8, strip, zero)
+    out_score[...] = M.astype(jnp.int32)
+
+
 def _local_kernel_intertask16(q_ref, t_ref, out_score, out_qend, out_tend,
                               hcol_ref, ecol_ref, *, params, Lq, Lt):
     """int16-cell variant of the inter-task kernel: the walk uses NO
@@ -583,6 +736,151 @@ def _local_align_intertask(q, t, params):
     )(Q3, T3)
     score, qend, tend = (r.reshape(B) for r in res)
     return AlignResult(score, qend, tend, None)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "int16", "with_n"))
+def _local_align_scores_jit(q, t, params, int16, with_n):
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    if not with_n:
+        # Every N4 is PADDING under the has_n=False contract (batches
+        # pad with 'N', host_batch.cpp-style) — remap the two sides to
+        # DISTINCT sentinels so pad cells score as mismatches.  Any DP
+        # path through a pad column/row never re-enters real cells and
+        # carries s <= 0 there under both schemes, so the best local
+        # score is unchanged (parity-tested vs the N-aware kernel).
+        q = jnp.where(q == N4, jnp.asarray(16, q.dtype), q)
+        t = jnp.where(t == N4, jnp.asarray(17, t.dtype), t)
+    Q3 = q.T.astype(jnp.int32).reshape(Lq, B // LANES, LANES)
+    T3 = t.T.astype(jnp.int32).reshape(Lt, B // LANES, LANES)
+    if int16:
+        kernel = functools.partial(
+            _local_kernel_intertask_score16, params=params, Lq=Lq, Lt=Lt)
+        cell_dt = jnp.int16
+    else:
+        kernel = functools.partial(
+            _local_kernel_intertask_score, params=params, Lq=Lq, Lt=Lt,
+            with_n=with_n)
+        cell_dt = jnp.int32
+    score = pl.pallas_call(
+        kernel,
+        grid=(B // (SUBS * LANES),),
+        in_specs=[
+            pl.BlockSpec((Lq, SUBS, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, SUBS, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B // LANES, LANES), jnp.int32),
+        out_specs=pl.BlockSpec((SUBS, LANES), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Lq, SUBS, LANES), cell_dt),
+            pltpu.VMEM((Lq, SUBS, LANES), cell_dt),
+        ],
+        interpret=_interpret(),
+    )(Q3, T3)
+    return score.reshape(B)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "with_n"))
+def _local_align_scores_tm_jit(Q, T, params, with_n):
+    """Time-major score-only dispatch: Q [Lq, B], T [Lt, B] — NO device
+    transpose (a [B,L]→[L,B] u8 transpose costs ~500us at B=16k on v5e,
+    ~30% of the kernel's own runtime).  The runtime packs host-side
+    straight into this layout; u8 inputs also cut input HBM traffic 4x."""
+    Lq, B = Q.shape
+    Lt = T.shape[0]
+    if not with_n:
+        Q = jnp.where(Q == N4, jnp.asarray(16, Q.dtype), Q)
+        T = jnp.where(T == N4, jnp.asarray(17, T.dtype), T)
+    Q3 = Q.reshape(Lq, B // LANES, LANES)
+    T3 = T.reshape(Lt, B // LANES, LANES)
+    kernel = functools.partial(
+        _local_kernel_intertask_score, params=params, Lq=Lq, Lt=Lt,
+        with_n=with_n)
+    score = pl.pallas_call(
+        kernel,
+        grid=(B // (SUBS * LANES),),
+        in_specs=[
+            pl.BlockSpec((Lq, SUBS, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, SUBS, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B // LANES, LANES), jnp.int32),
+        out_specs=pl.BlockSpec((SUBS, LANES), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(Q3, T3)
+    return score.reshape(B)
+
+
+def local_align_scores_tm(
+    Q: jnp.ndarray,   # [Lq, B] uint8 or int32, time-major
+    T: jnp.ndarray,   # [Lt, B]
+    params: AlignmentParams,
+    has_n: bool | None = None,
+) -> jnp.ndarray:
+    """Score-only local alignment over TIME-MAJOR batches ([L, B]) —
+    the zero-transpose fast path; see _local_align_scores_tm_jit."""
+    Lq, B = Q.shape
+    Lt = T.shape[0]
+    if B % (SUBS * LANES) or Lq % 8 or Lt % 8:
+        return local_align_tpu(Q.T, T.T, params).score
+    return _local_align_scores_tm_jit(
+        Q, T, params, True if has_n is None else bool(has_n))
+
+
+@functools.lru_cache(maxsize=1)
+def _int16_score_supported() -> bool:
+    """One-time compile probe: does this Mosaic target accept the
+    compare-free packed-i16 kernel?  (v5e rejects i16 cmpi but the
+    score-only kernel has none — still probed in case min/mul lag.)"""
+    if _interpret():
+        return True
+    try:
+        q = jnp.zeros((SUBS * LANES, 8), jnp.uint8)
+        out = _local_align_scores_jit(q, q, AlignmentParams(), True, False)
+        jax.block_until_ready(out)
+        return True
+    except Exception:
+        return False
+
+
+def local_align_scores_tpu(
+    q: jnp.ndarray,   # [B, Lq] uint8
+    t: jnp.ndarray,   # [B, Lt]
+    params: AlignmentParams,
+    has_n: bool | None = None,
+) -> jnp.ndarray:
+    """Batched local-alignment SCORES only — the fastest path.
+
+    Drops end-position tracking (the caller gets a [B] int32 score
+    vector), which cuts the per-cell op count by ~30% vs
+    local_align_tpu.  Pass has_n=False when the batch is verified free
+    of N codes (the runtime engine checks this at batch prep): that
+    unlocks the N-skip and, where Mosaic supports it, the packed-int16
+    kernel at 2x VPU density.  Parity: scores equal
+    local_align_tpu(...).score exactly (tested).  Method matches the
+    reference's published score-only SW-Gotoh GCUPS benchmarks
+    (CDP/NvB/prototypes/psa/README.md:28-44)."""
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    if B % (SUBS * LANES) or Lq % 8 or Lt % 8:
+        return local_align_tpu(q, t, params).score
+    if has_n is None:
+        has_n = True
+    use16 = (
+        not has_n
+        and params.match * Lq < (1 << 15) - 64
+        and _int16_score_supported()
+    )
+    return _local_align_scores_jit(q, t, params, use16, bool(has_n))
 
 
 @functools.partial(jax.jit, static_argnames=("params", "with_tb"))

@@ -176,3 +176,42 @@ def test_intertask_tb_kernel_matches_scan():
                                   np.asarray(r2.target_end))
     packed2 = _pack_nibbles_np(np.asarray(r2.tb))
     np.testing.assert_array_equal(np.asarray(r1.tb), packed2)
+
+
+def test_score_only_paths_match_full():
+    """local_align_scores_tpu (int32 no-N, int32 with-N, int16) ==
+    local_align_tpu scores exactly."""
+    rng = np.random.default_rng(7)
+    pb = make_batch(rng, n=2048)   # SUBS*LANES → inter-task path
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ref = np.asarray(pallas_align.local_align_tpu(q, t, P).score)
+    for has_n in (True, False):
+        got = np.asarray(
+            pallas_align.local_align_scores_tpu(q, t, P, has_n=has_n))
+        np.testing.assert_array_equal(got, ref)
+    # force the int16 kernel explicitly (interpret mode on CPU)
+    got16 = np.asarray(
+        pallas_align._local_align_scores_jit(q, t, P, True, False))
+    np.testing.assert_array_equal(got16, ref)
+
+
+def test_score_only_with_n_codes():
+    """Batches containing N must stay on the N-aware kernel and match."""
+    rng = np.random.default_rng(8)
+    qs = ["".join(rng.choice(list("ACGTN"), 40)) for _ in range(2048)]
+    ts = ["".join(rng.choice(list("ACGTN"), 56)) for _ in range(2048)]
+    pb = PairBatch.from_strings(qs, ts, q_pad=40, t_pad=56, pad_batch=2048)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ref = np.asarray(pallas_align.local_align_tpu(q, t, P).score)
+    got = np.asarray(pallas_align.local_align_scores_tpu(q, t, P))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_score_only_fallback_shapes():
+    """Non-inter-task shapes fall back to the full kernel."""
+    rng = np.random.default_rng(9)
+    pb = make_batch(rng, n=128)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ref = np.asarray(pallas_align.local_align_tpu(q, t, P).score)
+    got = np.asarray(pallas_align.local_align_scores_tpu(q, t, P))
+    np.testing.assert_array_equal(got, ref)
