@@ -226,18 +226,22 @@ def cluster_distributed(
         jnp.asarray(codes),
     ]
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # put_global builds the sharded arrays per-process (each process
+        # materializes only its addressable shards) — the same code path
+        # for 1 process or N (jax.distributed), replacing the reference's
+        # round-robin MPI shard (func.cu:152-164)
+        from genomics_tpu.parallel.multihost import put_global
 
-        sh = NamedSharding(mesh, P("data"))
-        arrays = [jax.device_put(a, sh) for a in arrays]
+        arrays = [put_global(mesh, np.asarray(a)) for a in arrays]
     words_d, net_d, low_d, high_d, codes_d = arrays
     _, rounds = _round_step_factory(similarity, W, Lq)
 
-    cluster = jnp.full((N,), -1, jnp.int32)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from genomics_tpu.parallel.multihost import put_global
 
-        cluster = jax.device_put(cluster, NamedSharding(mesh, P("data")))
+        cluster = put_global(mesh, np.full((N,), -1, np.int32))
+    else:
+        cluster = jnp.full((N,), -1, jnp.int32)
     # one device<->host sync per k_rounds representatives (the reference
     # pays a Gather + 2 Bcast per representative; here rep-selection is
     # in-graph and only the "anything left?" check reaches the host)
@@ -248,7 +252,9 @@ def cluster_distributed(
         )
         if not bool(jnp.any(cluster == -1)):
             break
-    c_host = np.asarray(cluster)
+    from genomics_tpu.parallel.multihost import fetch
+
+    c_host = fetch(cluster)   # MPI_Gather analog (func.cu:520)
     n = int((c_host == np.arange(N)).sum())
     return NgiaResult(cluster=c_host, order=order, n_clusters=n)
 

@@ -40,9 +40,12 @@ def data_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Place arrays sharded along axis 0 over the mesh's data axis."""
-    sh = NamedSharding(mesh, P("data"))
-    return tuple(jax.device_put(a, sh) for a in arrays)
+    """Place arrays sharded along axis 0 over the mesh's data axis.
+    Valid for meshes spanning one process or many (jax.distributed):
+    each process materializes only its addressable shards."""
+    from genomics_tpu.parallel.multihost import put_global
+
+    return tuple(put_global(mesh, a) for a in arrays)
 
 
 def _pad0(x, mult, fill=0):
