@@ -191,7 +191,27 @@ def _local_kernel(q_ref, t_ref, out_score, out_qend, out_tend, *rest, params,
 # LOCAL kernel, inter-task layout (score-only fast path)
 # ---------------------------------------------------------------------------
 
-SUBS = 16  # sublane batch: 16 x 128 = 2048 alignments per grid program
+SUBS = 16  # default sublane batch: 16 x 128 = 2048 alignments per program
+
+
+def _subs_for(B: int) -> int:
+    """Sublane-batch size for a batch of B alignments: 16 (2048/tile)
+    when it divides, else 8 (1024/tile) — so the inter-task kernels
+    engage from B=1024 up instead of only at 2048-multiples."""
+    return SUBS if B % (SUBS * LANES) == 0 else 8
+
+
+INTERTASK_MIN = 8 * LANES   # smallest batch the inter-task layout takes
+
+
+def _ij_zero(S):
+    """Iota-derived [S, 128] zeros: fori carries need a concrete
+    (non-replicated) layout or Mosaic rejects the loop-carry relayout."""
+    ij = (
+        jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
+    )
+    return jnp.minimum(ij, 0)
 
 
 def _local_kernel_intertask(q_ref, t_ref, out_score, out_qend, out_tend,
@@ -214,16 +234,13 @@ def _local_kernel_intertask(q_ref, t_ref, out_score, out_qend, out_tend,
     ge = jnp.int32(params.gap_extend)
     # iota-derived zeros: fori carries need a concrete (non-replicated-
     # in-either-dim) layout or Mosaic rejects the loop-carry relayout
-    ij = (
-        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
-    )
-    zero = jnp.minimum(ij, 0)
+    S = out_score.shape[0]
+    zero = _ij_zero(S)
     nbig = zero + jnp.int32(NEG_BIG)
 
     # H(j, -1) = 0 and E-state seed 0 for the first strip
-    hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
-    ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
+    hcol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
+    ecol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
 
     # rows per fori iteration: the row body is latency-bound (serial
     # E-chain + VMEM column loads), so unrolling independent-ish rows
@@ -297,6 +314,167 @@ def _local_kernel_intertask(q_ref, t_ref, out_score, out_qend, out_tend,
     out_tend[...] = jnp.where(nz, tend, 0)
 
 
+def _local_kernel_intertask_second(q_ref, t_ref, qr8_ref, tr8_ref,
+                                   out_score, out_qend, out_tend,
+                                   out_s2, out_x2, out_y2,
+                                   hcol_ref, ecol_ref, *, params, Lq, Lt):
+    """Inter-task kernel with INLINE second-best — one walk computes
+    both results, replacing the r2 era's extra full pass through the
+    scan engine (~1.3x the plain kernel instead of ~10x).
+
+    GASAL2 TRUE semantics (local_kernel_template.h:147-163), per cell in
+    visit order: flag h as a second-best candidate iff it is strictly
+    below the inclusive running primary max AND strictly above the
+    second-best so far; after each query column, the quirky
+    maxXY_x_second update compares prev_maxHH_second against the
+    PRIMARY max (a reference quirk, kept).  The reference walks only a
+    pair's OWN 8-padded extent, whose padding cells can carry flagged
+    values — so candidate cells beyond qr8/tr8 are masked per lane
+    (same contract as scan_align_full.local_align_second_batch, which
+    this kernel is parity-tested against)."""
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    S = out_score.shape[0]
+    zero = _ij_zero(S)
+    nbig = zero + jnp.int32(NEG_BIG)
+    qr8 = qr8_ref[...]                        # [S, 128] 8-padded extents
+    tr8 = tr8_ref[...]
+
+    hcol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
+    ecol_ref[...] = jnp.zeros(ecol_ref.shape, jnp.int32)
+
+    UNROLL = 8 if Lq % 8 == 0 else (4 if Lq % 4 == 0 else 1)
+
+    def strip(ib, carry):
+        M, K, M2, P2, X2, Y2 = carry
+        t_strip = t_ref[pl.ds(ib * 8, 8), :, :]
+        t_is_n = t_strip == N4
+        row_valid = [(ib * 8 + c) < tr8 for c in range(8)]
+        strip_valid = (ib * 8) < tr8
+
+        def do_row(j, Hprev, W, diag0, M, K, M2, P2, X2, Y2):
+            q_j = q_ref[pl.ds(j, 1), :, :][0]
+            q_is_n = q_j == N4
+            hcol_j = hcol_ref[pl.ds(j, 1), :, :][0]
+            e_state = ecol_ref[pl.ds(j, 1), :, :][0]
+            col_valid = j < qr8
+            h_new = []
+            w_new = []
+            for c in range(8):
+                t_c = t_strip[c]
+                eq = q_j == t_c
+                s = jnp.where(eq, jnp.int32(params.match),
+                              jnp.int32(-params.mismatch))
+                is_n = q_is_n | t_is_n[c]
+                if params.n_penalty is not None:
+                    s = jnp.where(is_n, jnp.int32(-params.n_penalty), s)
+                else:
+                    s = jnp.where(is_n, jnp.int32(0), s)
+                diag = diag0 if c == 0 else Hprev[c - 1]
+                tmp = diag + s
+                u = W[c]
+                h = jnp.maximum(jnp.maximum(tmp, u),
+                                jnp.maximum(e_state, 0))
+                key = ((ib * Lq + j) * 8 + c)
+                take = h > M
+                M = jnp.where(take, h, M)
+                K = jnp.where(take, key, K)
+                # second-best candidate: strictly below the inclusive
+                # primary running max, strictly above M2, inside extent
+                ovr = col_valid & row_valid[c] & (M2 < h) & (M > h)
+                M2 = jnp.where(ovr, h, M2)
+                Y2 = jnp.where(ovr, ib * 8 + c, Y2)
+                tmpg = tmp - goe
+                w_new.append(jnp.maximum(tmpg, u - ge))
+                e_state = jnp.maximum(tmpg, e_state - ge)
+                h_new.append(h)
+            # column epilogue (reference :162-163): compare against the
+            # PRIMARY max, then fold M2 into prev_maxHH_second
+            colupd = (P2 < M) & col_valid & strip_valid
+            X2 = jnp.where(colupd, j, X2)
+            P2 = jnp.maximum(P2, M2)
+            hcol_ref[pl.ds(j, 1), :, :] = h_new[7][None]
+            ecol_ref[pl.ds(j, 1), :, :] = e_state[None]
+            return (h_new, w_new, hcol_j, M, K, M2, P2, X2, Y2)
+
+        def row(j, rc):
+            Hprev, W, diag0, M, K, M2, P2, X2, Y2 = rc
+            jj = j * UNROLL
+            for u_i in range(UNROLL):
+                Hprev, W, diag0, M, K, M2, P2, X2, Y2 = do_row(
+                    jj + u_i, Hprev, W, diag0, M, K, M2, P2, X2, Y2)
+            return (Hprev, W, diag0, M, K, M2, P2, X2, Y2)
+
+        init = ([zero] * 8, [nbig] * 8, zero, M, K, M2, P2, X2, Y2)
+        out = jax.lax.fori_loop(0, Lq // UNROLL, row, init)
+        return out[3:]
+
+    M, K, M2, P2, X2, Y2 = jax.lax.fori_loop(
+        0, Lt // 8, strip,
+        (zero, zero + jnp.int32(jnp.iinfo(jnp.int32).max),
+         zero, zero, zero, zero),
+    )
+    cell = K >> 3
+    qend = cell % Lq
+    tend = (cell // Lq) * 8 + (K & 7)
+    nz = M > 0
+    out_score[...] = M
+    out_qend[...] = jnp.where(nz, qend, 0)
+    out_tend[...] = jnp.where(nz, tend, 0)
+    out_s2[...] = M2
+    out_x2[...] = X2
+    out_y2[...] = Y2
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def local_align_second_tpu(q, t, qlen, tlen, params: AlignmentParams):
+    """Batched local alignment with inline second-best (GASAL2 TRUE
+    semantics) — one Pallas pass.  Returns the scan engine's 6-tuple
+    (score, qend, tend, score2, qend2, tend2), parity-tested against
+    scan_align_full.local_align_second_batch."""
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    if B % INTERTASK_MIN or Lq % 8 or Lt % 8:
+        raise ValueError(
+            f"local_align_second_tpu needs B % {INTERTASK_MIN} == 0 and "
+            f"8-multiple lengths; got B={B}, Lq={Lq}, Lt={Lt}"
+        )
+    subs = _subs_for(B)
+    nb = B // LANES
+    Q3 = q.T.astype(jnp.int32).reshape(Lq, nb, LANES)
+    T3 = t.T.astype(jnp.int32).reshape(Lt, nb, LANES)
+    qr8 = (((jnp.asarray(qlen, jnp.int32) + 7) // 8) * 8).reshape(nb, LANES)
+    tr8 = (((jnp.asarray(tlen, jnp.int32) + 7) // 8) * 8).reshape(nb, LANES)
+    kernel = functools.partial(
+        _local_kernel_intertask_second, params=params, Lq=Lq, Lt=Lt
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=(B // (subs * LANES),),
+        in_specs=[
+            pl.BlockSpec((Lq, subs, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, subs, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((subs, LANES), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((subs, LANES), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((nb, LANES), jnp.int32)] * 6,
+        out_specs=[
+            pl.BlockSpec((subs, LANES), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(Q3, T3, qr8, tr8)
+    return tuple(r.reshape(B) for r in res)
+
+
 def _local_kernel_intertask_score(q_ref, t_ref, out_score,
                                   hcol_ref, ecol_ref, *,
                                   params, Lq, Lt, with_n):
@@ -311,15 +489,12 @@ def _local_kernel_intertask_score(q_ref, t_ref, out_score,
     (CDP/NvB/prototypes/psa/README.md:28-44)."""
     goe = jnp.int32(params.gap_oe)
     ge = jnp.int32(params.gap_extend)
-    ij = (
-        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
-    )
-    zero = jnp.minimum(ij, 0)
+    S = out_score.shape[0]
+    zero = _ij_zero(S)
     nbig = zero + jnp.int32(NEG_BIG)
 
-    hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
-    ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
+    hcol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
+    ecol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
 
     UNROLL = 8 if Lq % 8 == 0 else (4 if Lq % 4 == 0 else 1)
 
@@ -397,15 +572,12 @@ def _local_kernel_intertask_score16(q_ref, t_ref, out_score,
     while the DP core (add/sub/max) stays packed i16 at 2x density."""
     goe = jnp.int16(params.gap_oe)
     ge = jnp.int16(params.gap_extend)
-    ij = (
-        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
-    )
-    zero = jnp.minimum(ij, 0).astype(jnp.int16)
+    S = out_score.shape[0]
+    zero = _ij_zero(S).astype(jnp.int16)
     nbig = zero + jnp.int16(-(1 << 12))
 
-    hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int16)
-    ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int16)
+    hcol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int16)
+    ecol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int16)
 
     UNROLL = 8 if Lq % 8 == 0 else (4 if Lq % 4 == 0 else 1)
 
@@ -464,16 +636,13 @@ def _local_kernel_intertask16(q_ref, t_ref, out_score, out_qend, out_tend,
     Lq*match < 32767 (checked by the dispatcher)."""
     goe = jnp.int16(params.gap_oe)
     ge = jnp.int16(params.gap_extend)
-    ij = (
-        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
-    )
-    zero32 = jnp.minimum(ij, 0)
+    S = out_score.shape[0]
+    zero32 = _ij_zero(S)
     zero = zero32.astype(jnp.int16)
     nbig = zero + jnp.int16(-(1 << 12))
 
-    hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int16)
-    ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int16)
+    hcol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int16)
+    ecol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int16)
 
     def strip(ib, carry):
         M, K = carry
@@ -547,17 +716,14 @@ def _local_kernel_intertask_tb(q_ref, t_ref, out_score, out_qend, out_tend,
     s = pl.program_id(1)
     goe = jnp.int32(params.gap_oe)
     ge = jnp.int32(params.gap_extend)
-    ij = (
-        jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
-    )
-    zero = jnp.minimum(ij, 0)
+    S = out_score.shape[0]
+    zero = _ij_zero(S)
     nbig = zero + jnp.int32(NEG_BIG)
 
     @pl.when(s == 0)
     def _():
-        hcol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
-        ecol_ref[...] = jnp.zeros((Lq, SUBS, LANES), jnp.int32)
+        hcol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
+        ecol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
         mk_ref[0] = zero
         mk_ref[1] = zero + jnp.int32(jnp.iinfo(jnp.int32).max)
 
@@ -644,6 +810,7 @@ def _local_align_intertask_tb(q, t, params):
     B, Lq = q.shape
     Lt = t.shape[1]
     nb = B // LANES
+    subs = _subs_for(B)
     Q3 = q.T.astype(jnp.int32).reshape(Lq, nb, LANES)
     T3 = t.T.astype(jnp.int32).reshape(Lt, nb, LANES)
     kernel = functools.partial(
@@ -651,11 +818,11 @@ def _local_align_intertask_tb(q, t, params):
     )
     res = pl.pallas_call(
         kernel,
-        grid=(B // (SUBS * LANES), Lt // 8),
+        grid=(B // (subs * LANES), Lt // 8),
         in_specs=[
-            pl.BlockSpec((Lq, SUBS, LANES), lambda b, s: (0, b, 0),
+            pl.BlockSpec((Lq, subs, LANES), lambda b, s: (0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, SUBS, LANES), lambda b, s: (s, b, 0),
+            pl.BlockSpec((8, subs, LANES), lambda b, s: (s, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -665,19 +832,19 @@ def _local_align_intertask_tb(q, t, params):
             jax.ShapeDtypeStruct((Lt // 8, Lq, nb, LANES), jnp.int32),
         ],
         out_specs=[
-            pl.BlockSpec((SUBS, LANES), lambda b, s: (b, 0),
+            pl.BlockSpec((subs, LANES), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBS, LANES), lambda b, s: (b, 0),
+            pl.BlockSpec((subs, LANES), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBS, LANES), lambda b, s: (b, 0),
+            pl.BlockSpec((subs, LANES), lambda b, s: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lq, SUBS, LANES), lambda b, s: (s, 0, b, 0),
+            pl.BlockSpec((1, Lq, subs, LANES), lambda b, s: (s, 0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
-            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
-            pltpu.VMEM((2, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
+            pltpu.VMEM((2, subs, LANES), jnp.int32),
         ],
         interpret=_interpret(),
     )(Q3, T3)
@@ -692,6 +859,7 @@ def _local_align_intertask(q, t, params):
     Lt = t.shape[1]
     Q3 = q.T.astype(jnp.int32).reshape(Lq, B // LANES, LANES)
     T3 = t.T.astype(jnp.int32).reshape(Lt, B // LANES, LANES)
+    subs = _subs_for(B)
     # int16 cells would give 2x VPU density wherever the best possible
     # score fits, and the inter-task walk needs no sublane rotates — but
     # v5e Mosaic also lacks packed-i16 COMPARES ("Target does not support
@@ -716,21 +884,21 @@ def _local_align_intertask(q, t, params):
         cell_dt = jnp.int32
     res = pl.pallas_call(
         kernel,
-        grid=(B // (SUBS * LANES),),
+        grid=(B // (subs * LANES),),
         in_specs=[
-            pl.BlockSpec((Lq, SUBS, LANES), lambda b: (0, b, 0),
+            pl.BlockSpec((Lq, subs, LANES), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lt, SUBS, LANES), lambda b: (0, b, 0),
+            pl.BlockSpec((Lt, subs, LANES), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((B // LANES, LANES), jnp.int32)] * 3,
         out_specs=[
-            pl.BlockSpec((SUBS, LANES), lambda b: (b, 0),
+            pl.BlockSpec((subs, LANES), lambda b: (b, 0),
                          memory_space=pltpu.VMEM)
         ] * 3,
         scratch_shapes=[
-            pltpu.VMEM((Lq, SUBS, LANES), cell_dt),
-            pltpu.VMEM((Lq, SUBS, LANES), cell_dt),
+            pltpu.VMEM((Lq, subs, LANES), cell_dt),
+            pltpu.VMEM((Lq, subs, LANES), cell_dt),
         ],
         interpret=_interpret(),
     )(Q3, T3)
@@ -751,6 +919,7 @@ def _local_align_scores_jit(q, t, params, int16, with_n):
         # score is unchanged (parity-tested vs the N-aware kernel).
         q = jnp.where(q == N4, jnp.asarray(16, q.dtype), q)
         t = jnp.where(t == N4, jnp.asarray(17, t.dtype), t)
+    subs = _subs_for(B)
     Q3 = q.T.astype(jnp.int32).reshape(Lq, B // LANES, LANES)
     T3 = t.T.astype(jnp.int32).reshape(Lt, B // LANES, LANES)
     if int16:
@@ -764,19 +933,19 @@ def _local_align_scores_jit(q, t, params, int16, with_n):
         cell_dt = jnp.int32
     score = pl.pallas_call(
         kernel,
-        grid=(B // (SUBS * LANES),),
+        grid=(B // (subs * LANES),),
         in_specs=[
-            pl.BlockSpec((Lq, SUBS, LANES), lambda b: (0, b, 0),
+            pl.BlockSpec((Lq, subs, LANES), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lt, SUBS, LANES), lambda b: (0, b, 0),
+            pl.BlockSpec((Lt, subs, LANES), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=jax.ShapeDtypeStruct((B // LANES, LANES), jnp.int32),
-        out_specs=pl.BlockSpec((SUBS, LANES), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((subs, LANES), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Lq, SUBS, LANES), cell_dt),
-            pltpu.VMEM((Lq, SUBS, LANES), cell_dt),
+            pltpu.VMEM((Lq, subs, LANES), cell_dt),
+            pltpu.VMEM((Lq, subs, LANES), cell_dt),
         ],
         interpret=_interpret(),
     )(Q3, T3)
@@ -794,6 +963,7 @@ def _local_align_scores_tm_jit(Q, T, params, with_n):
     if not with_n:
         Q = jnp.where(Q == N4, jnp.asarray(16, Q.dtype), Q)
         T = jnp.where(T == N4, jnp.asarray(17, T.dtype), T)
+    subs = _subs_for(B)
     Q3 = Q.reshape(Lq, B // LANES, LANES)
     T3 = T.reshape(Lt, B // LANES, LANES)
     kernel = functools.partial(
@@ -801,19 +971,19 @@ def _local_align_scores_tm_jit(Q, T, params, with_n):
         with_n=with_n)
     score = pl.pallas_call(
         kernel,
-        grid=(B // (SUBS * LANES),),
+        grid=(B // (subs * LANES),),
         in_specs=[
-            pl.BlockSpec((Lq, SUBS, LANES), lambda b: (0, b, 0),
+            pl.BlockSpec((Lq, subs, LANES), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lt, SUBS, LANES), lambda b: (0, b, 0),
+            pl.BlockSpec((Lt, subs, LANES), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=jax.ShapeDtypeStruct((B // LANES, LANES), jnp.int32),
-        out_specs=pl.BlockSpec((SUBS, LANES), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((subs, LANES), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
-            pltpu.VMEM((Lq, SUBS, LANES), jnp.int32),
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
         ],
         interpret=_interpret(),
     )(Q3, T3)
@@ -830,7 +1000,7 @@ def local_align_scores_tm(
     the zero-transpose fast path; see _local_align_scores_tm_jit."""
     Lq, B = Q.shape
     Lt = T.shape[0]
-    if B % (SUBS * LANES) or Lq % 8 or Lt % 8:
+    if B % INTERTASK_MIN or Lq % 8 or Lt % 8:
         return local_align_tpu(Q.T, T.T, params).score
     return _local_align_scores_tm_jit(
         Q, T, params, True if has_n is None else bool(has_n))
@@ -871,7 +1041,7 @@ def local_align_scores_tpu(
     (CDP/NvB/prototypes/psa/README.md:28-44)."""
     B, Lq = q.shape
     Lt = t.shape[1]
-    if B % (SUBS * LANES) or Lq % 8 or Lt % 8:
+    if B % INTERTASK_MIN or Lq % 8 or Lt % 8:
         return local_align_tpu(q, t, params).score
     if has_n is None:
         has_n = True
@@ -900,7 +1070,7 @@ def local_align_tpu(
             f"B={B}, Lq={Lq} — use runtime.AlignEngine, which buckets "
             f"and pads automatically"
         )
-    if B % (SUBS * LANES) == 0 and Lt % 8 == 0:
+    if B % INTERTASK_MIN == 0 and Lt % 8 == 0:
         if with_tb:
             return _local_align_intertask_tb(q, t, params)
         return _local_align_intertask(q, t, params)

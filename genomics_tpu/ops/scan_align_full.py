@@ -399,11 +399,16 @@ def _semiglobal_start_core(
 
 def semiglobal_align_with_start(q_np, t_np, qlen, tlen,
                                 params: AlignmentParams,
-                                head=None, tail=None):
-    """Full semiglobal WITH_START: forward scan engine (score/ends with
-    the reference quirks) + reverse pass (starts).
+                                head=None, tail=None,
+                                use_pallas: bool | None = None):
+    """Full semiglobal WITH_START: forward pass (score/ends with the
+    reference quirks) + reverse pass (starts).  The forward pass runs
+    the Pallas semiglobal kernel on TPU (use_pallas=None → auto) and
+    the scan engine elsewhere — both are parity-tested equal.
 
     numpy in/out; returns (score, qend, tend, qstart, tstart)."""
+    import jax
+
     from genomics_tpu.core.scoring import SemiGlobalSkip
     from genomics_tpu.ops import scan_align
 
@@ -413,11 +418,22 @@ def semiglobal_align_with_start(q_np, t_np, qlen, tlen,
     t_np = np.asarray(t_np)
     qlen = np.asarray(qlen, np.int64)
     tlen = np.asarray(tlen, np.int64)
-    fwd = scan_align.semiglobal_align_batch(
-        jnp.asarray(q_np), jnp.asarray(t_np),
-        jnp.asarray(qlen, jnp.int32), jnp.asarray(tlen, jnp.int32),
-        params, head=head, tail=tail,
-    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and q_np.shape[0] % 128 == 0 and q_np.shape[1] % 8 == 0:
+        from genomics_tpu.ops import pallas_align
+
+        fwd = pallas_align.semiglobal_align_tpu(
+            jnp.asarray(q_np), jnp.asarray(t_np),
+            jnp.asarray(qlen, jnp.int32), jnp.asarray(tlen, jnp.int32),
+            params, head=head, tail=tail,
+        )
+    else:
+        fwd = scan_align.semiglobal_align_batch(
+            jnp.asarray(q_np), jnp.asarray(t_np),
+            jnp.asarray(qlen, jnp.int32), jnp.asarray(tlen, jnp.int32),
+            params, head=head, tail=tail,
+        )
     score = np.asarray(fwd.score)
     qend = np.asarray(fwd.query_end)
     tend = np.asarray(fwd.target_end)

@@ -73,7 +73,8 @@ def _pad_pair_shard(q, t):
 
 
 @functools.lru_cache(maxsize=64)
-def _align_scores_fn(mesh: Mesh, params: AlignmentParams, use_pallas: bool):
+def _align_scores_fn(mesh: Mesh, params: AlignmentParams, use_pallas: bool,
+                     has_n: bool):
     """Cached jitted shard_map for sharded_align_scores — rebuilding the
     closure per call would recompile per call (Mesh and the frozen
     params dataclass are both hashable)."""
@@ -88,9 +89,12 @@ def _align_scores_fn(mesh: Mesh, params: AlignmentParams, use_pallas: bool):
     def step(q_local, t_local):
         b = q_local.shape[0]
         if use_pallas:
+            # score-only inter-task kernel — the fastest path (falls
+            # back to the full kernel internally below B=1024/shard)
             qp, tp = _pad_pair_shard(q_local, t_local)
-            res = pallas_align.local_align_tpu(qp, tp, params)
-            score = res.score[:b]
+            score = pallas_align.local_align_scores_tpu(
+                qp, tp, params, has_n=has_n
+            )[:b]
         else:
             score = scan_align.local_align_batch(q_local, t_local, params).score
         best = jax.lax.pmax(jnp.max(score), "data")
@@ -105,12 +109,23 @@ def sharded_align_scores(
     t: jnp.ndarray,    # [B, Lt]
     params: AlignmentParams,
     use_pallas: bool = True,
+    has_n: bool | None = None,
 ):
-    """Data-parallel local alignment: per-shard Pallas DP, plus a global
-    best-score reduction (the all-reduce the reference does over MPI).
+    """Data-parallel local alignment scoring: per-shard score-only
+    Pallas DP, plus a global best-score reduction (the all-reduce the
+    reference does over MPI).
+
+    `has_n=False` asserts the batch has no in-sequence N codes (padding
+    N is fine), unlocking the N-skip/int16 fast kernels; None detects it
+    host-side when the inputs are host arrays, else assumes True.
 
     Returns (scores [B] — sharded, global_best scalar — replicated)."""
-    return _align_scores_fn(mesh, params, use_pallas)(q, t)
+    if has_n is None:
+        if isinstance(q, np.ndarray) and isinstance(t, np.ndarray):
+            has_n = bool((q == N4).any() or (t == N4).any())
+        else:
+            has_n = True
+    return _align_scores_fn(mesh, params, use_pallas, bool(has_n))(q, t)
 
 
 @functools.lru_cache(maxsize=64)

@@ -97,6 +97,7 @@ class AlignEngine:
         band_width_tiles: int = 4,
         buckets: Sequence[int] | None = None,
         use_pallas: bool | None = None,
+        score_only: bool = False,
     ):
         self.params = params
         self.with_tb = with_tb or params.with_traceback
@@ -104,6 +105,10 @@ class AlignEngine:
         self.tail = tail
         self.band_width_tiles = band_width_tiles
         self.buckets = list(buckets) if buckets else default_buckets()
+        # score-only mode: skip end-position tracking and dispatch the
+        # fastest kernels (the reference's psa benchmarks are score-only
+        # SW-Gotoh runs, CDP/NvB/prototypes/psa/README.md:28-44)
+        self.score_only = score_only and params.algo == AlgoType.LOCAL
         # auto: compiled Pallas on TPU, scan engines elsewhere (interpret
         # mode is only for parity tests — too slow for real dispatch)
         if use_pallas is None:
@@ -112,12 +117,18 @@ class AlignEngine:
 
     # -- device dispatch per bucket -------------------------------------
 
-    def _run_bucket(self, q, t, qlen, tlen, h0):
+    def _run_bucket(self, q, t, qlen, tlen, h0, has_n=True):
         p = self.params
         algo = p.algo
         qd, td = jnp.asarray(q), jnp.asarray(t)
         ql, tl = jnp.asarray(qlen), jnp.asarray(tlen)
         if algo == AlgoType.LOCAL:
+            if self.score_only and self.use_pallas and not self.with_tb:
+                score = pallas_align.local_align_scores_tpu(
+                    qd, td, p, has_n=has_n
+                )
+                zero = jnp.zeros_like(score)
+                return scan_align.AlignResult(score, zero, zero, None)
             if self.use_pallas:
                 return pallas_align.local_align_tpu(qd, td, p, with_tb=self.with_tb)
             return scan_align.local_align_batch(qd, td, p, with_tb=self.with_tb)
@@ -191,39 +202,75 @@ class AlignEngine:
             key = (_bucket_of(len(eq), self.buckets), _bucket_of(len(et), self.buckets))
             groups.setdefault(key, []).append(i)
 
-        # dispatch all buckets (async), then collect
+        # dispatch all buckets (async), then collect.  Large buckets are
+        # SPLIT into inter-task tiles (2048, then 1024) plus a lane-tile
+        # remainder instead of rounding the whole bucket up — pad waste
+        # stays < 128/B instead of up to 2x (e.g. 1025 jobs used to pad
+        # to 2048; now: one 1024-tile + one 128-tile).
         pending = []
-        for (lq, lt), idxs in groups.items():
-            # large buckets round to the inter-task tile (16*128) so the
-            # fast kernels engage; small ones to a lane tile
-            if self.use_pallas:
-                mult = 2048 if len(idxs) >= 1024 else LANES
-            else:
-                mult = 8
+        chunked: list[tuple[tuple[int, int], list[int]]] = []
+        for key, idxs in groups.items():
+            if not self.use_pallas:
+                chunked.append((key, idxs))
+                continue
+            pos, n_jobs = 0, len(idxs)
+            while n_jobs - pos >= 2048:
+                chunked.append((key, idxs[pos:pos + 2048]))
+                pos += 2048
+            if n_jobs - pos >= 1024:
+                chunked.append((key, idxs[pos:pos + 1024]))
+                pos += 1024
+            if pos < n_jobs:
+                chunked.append((key, idxs[pos:]))
+        for (lq, lt), idxs in chunked:
+            mult = LANES if self.use_pallas else 8
             B = _round_up(len(idxs), mult)
             qb = np.full((B, lq), N4, np.uint8)
             tb = np.full((B, lt), N4, np.uint8)
             qlen = np.ones(B, np.int32)
             tlen = np.ones(B, np.int32)
             hb = np.zeros(B, np.int32)
+            has_n = False
             for k, i in enumerate(idxs):
                 qb[k, : len(enc_q[i])] = enc_q[i]
                 tb[k, : len(enc_t[i])] = enc_t[i]
                 qlen[k] = len(enc_q[i])
                 tlen[k] = len(enc_t[i])
                 hb[k] = h0[i]
-            res = self._run_bucket(qb, tb, qlen, tlen, hb)
+                has_n = has_n or (N4 in enc_q[i]) or (N4 in enc_t[i])
             second = None
-            if self.params.second_best and self.params.algo == AlgoType.LOCAL:
-                # second-best runs the visit-order engine (async too):
-                # the GASAL2 kernel computes it inline; here it is an
-                # extra pass only when requested (gasal_align.h:98-106)
-                from genomics_tpu.ops import scan_align_full
-
-                second = scan_align_full.local_align_second_batch(
-                    jnp.asarray(qb), jnp.asarray(tb),
-                    jnp.asarray(qlen), jnp.asarray(tlen), self.params
+            want_second = (
+                self.params.second_best and self.params.algo == AlgoType.LOCAL
+            )
+            if (
+                want_second
+                and self.use_pallas
+                and not self.with_tb
+                and B % pallas_align.INTERTASK_MIN == 0
+                and lq % 8 == 0
+                and lt % 8 == 0
+            ):
+                # inline second-best: ONE Pallas pass computes primary +
+                # second, exactly as the GASAL2 kernel does
+                # (local_kernel_template.h:147-163)
+                sec = pallas_align.local_align_second_tpu(
+                    jnp.asarray(qb), jnp.asarray(tb), qlen, tlen, self.params
                 )
+                res = scan_align.AlignResult(sec[0], sec[1], sec[2], None)
+                second = sec
+            else:
+                res = self._run_bucket(
+                    qb, tb, qlen, tlen, hb, has_n=bool(has_n)
+                )
+                if want_second:
+                    # visit-order scan engine fallback (small buckets /
+                    # with_tb combos)
+                    from genomics_tpu.ops import scan_align_full
+
+                    second = scan_align_full.local_align_second_batch(
+                        jnp.asarray(qb), jnp.asarray(tb),
+                        jnp.asarray(qlen), jnp.asarray(tlen), self.params
+                    )
             pending.append(((lq, lt), idxs, qlen, tlen, qb, tb, res, second))
         return pending, n
 

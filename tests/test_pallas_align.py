@@ -215,3 +215,51 @@ def test_score_only_fallback_shapes():
     ref = np.asarray(pallas_align.local_align_tpu(q, t, P).score)
     got = np.asarray(pallas_align.local_align_scores_tpu(q, t, P))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_intertask_second_best_inline_parity():
+    """Inline second-best Pallas kernel == scan engine on all six
+    outputs (GASAL2 TRUE semantics incl. the maxXY_x_second quirk)."""
+    import jax.numpy as jnp
+
+    from genomics_tpu.core.encoding import N4
+    from genomics_tpu.ops import scan_align_full
+
+    rng = np.random.default_rng(5)
+    B, Lq, Lt = 1024, 24, 32
+    q = rng.integers(0, 4, (B, Lq)).astype(np.uint8) * 2 + 1
+    t = rng.integers(0, 4, (B, Lt)).astype(np.uint8) * 2 + 1
+    qlen = rng.integers(9, Lq + 1, B).astype(np.int32)
+    tlen = rng.integers(9, Lt + 1, B).astype(np.int32)
+    for i in range(B):
+        q[i, qlen[i]:] = N4
+        t[i, tlen[i]:] = N4
+    a = pallas_align.local_align_second_tpu(
+        jnp.asarray(q), jnp.asarray(t), qlen, tlen, P
+    )
+    b = scan_align_full.local_align_second_batch(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen),
+        jnp.asarray(tlen), P
+    )
+    for av, bv in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(av), np.asarray(bv))
+
+
+def test_intertask_subs8_engagement_parity():
+    """B=1024 engages the inter-task kernels (subs=8) with exact parity
+    vs the scan engine — the r2 bucket-rounding gap."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    B, Lq, Lt = 1024, 16, 24
+    q = jnp.asarray(rng.integers(0, 4, (B, Lq)) * 2 + 1, jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, Lt)) * 2 + 1, jnp.uint8)
+    assert pallas_align._subs_for(B) == 8
+    r1 = pallas_align.local_align_tpu(q, t, P)
+    r2 = scan_align.local_align_batch(q, t, P)
+    np.testing.assert_array_equal(np.asarray(r1.score), np.asarray(r2.score))
+    np.testing.assert_array_equal(
+        np.asarray(r1.query_end), np.asarray(r2.query_end)
+    )
+    s = pallas_align.local_align_scores_tpu(q, t, P, has_n=False)
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(r2.score))

