@@ -37,7 +37,19 @@ def main(argv=None):
     p.add_argument("-t", "--target", required=True)
     p.add_argument("-y", "--algo", default="local",
                    choices=["local", "global", "semi_global", "banded", "ksw"])
-    p.add_argument("--tb", action="store_true", help="traceback/CIGAR")
+    p.add_argument("--tb", action="store_true", help="traceback/CIGAR "
+                   "(GASAL2 -t; implies start computation via the walk)")
+    p.add_argument("-s", "--start", action="store_true",
+                   help="compute start positions (GASAL2 -s WITH_START)")
+    p.add_argument("--second-best", action="store_true",
+                   help="report second-best score/ends (GASAL2 "
+                   "--second-best, WITHOUT_START only)")
+    p.add_argument("-x", "--skip", nargs=2, default=["none", "none"],
+                   metavar=("HEAD", "TAIL"),
+                   help="semiglobal skipping (GASAL2 -x): "
+                   "none|query|target|both")
+    p.add_argument("-k", "--band", type=int, default=4,
+                   help="band width in 8-tiles for -y banded (GASAL2 -k)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("-a", "--match", type=int, default=1)
     p.add_argument("-b", "--mismatch", type=int, default=4)
@@ -136,20 +148,34 @@ def main(argv=None):
         print(f"Best alignment found at {res['location']}")
         print(f"score {res['score']} cigar {res['cigar_compressed']}")
     elif args.cmd == "align":
-        from genomics_tpu.core.scoring import AlignmentParams, AlgoType
+        from genomics_tpu.core.scoring import (
+            AlignmentParams, AlgoType, SemiGlobalSkip,
+        )
         from genomics_tpu.models.aligner import align_fasta_pairs
 
         params = AlignmentParams(
             match=args.match, mismatch=args.mismatch,
             gap_open=args.gapo, gap_extend=args.gape,
             algo=AlgoType(args.algo),
+            second_best=args.second_best,
+            compute_start=args.start and not args.tb,
         )
+        head = SemiGlobalSkip[args.skip[0].upper()]
+        tail = SemiGlobalSkip[args.skip[1].upper()]
         jobs = align_fasta_pairs(args.query, args.target, params=params,
-                                 with_tb=args.tb, limit=args.limit)
+                                 with_tb=args.tb, limit=args.limit,
+                                 head=head, tail=tail,
+                                 band_width_tiles=args.band)
         for i, j in enumerate(jobs):
             line = f"{i}\tscore={j.score}\tqe={j.query_end}\tte={j.target_end}"
+            if args.start or args.tb:
+                line += f"\tqs={j.query_start}\tts={j.target_start}"
+            if args.second_best:
+                line += (f"\tscore2={j.score_second}"
+                         f"\tqe2={j.query_end_second}"
+                         f"\tte2={j.target_end_second}")
             if args.tb and j.cigar is not None:
-                line += f"\tqs={j.query_start}\tts={j.target_start}\tcigar={j.cigar_string}"
+                line += f"\tcigar={j.cigar_string}"
             print(line)
     elif args.cmd == "pairhmm":
         from genomics_tpu.models import pairhmm

@@ -887,18 +887,33 @@ def decode_tb(
     score: int = 0,
     query_end: int = 0,
     target_end: int = 0,
+    head_q: bool = False,
+    head_t: bool = False,
 ):
     """gasal_get_tb emulation (get_tb.h:5-149).
 
     dirs: [t_pad8, q_pad8] uint8 nibble matrix (bit3=f_ext, bit2=e_ext,
     bits1:0=dir code) — semantically identical to the packed uint4
     matrices, just unpacked.  Returns (cigar_bytes, query_start,
-    target_start, n_ops).  ``algo`` is "local" or "global"."""
+    target_start, n_ops).  ``algo`` is "local", "global" or
+    "semiglobal".
+
+    SEMIGLOBAL is a framework EXTENSION: the reference instantiates
+    gasal_semi_global_kernel<WITH_TB> (it writes direction matrices,
+    gasal_align.h:7-33) but never launches gasal_get_tb for it, so no
+    reference decode semantics exist.  Defined here: the walk starts at
+    the resolved end cell (query_end, target_end) — the caller resolves
+    the tail-policy quirks — proceeds exactly like GLOBAL's walk, and
+    the leading D / I padding is emitted only for a dimension whose
+    HEAD is NOT skipped (head_t / head_q); starts report the first
+    consumed position (i+1 / j+1) of head-skipped dimensions."""
     goe, ge = params.gap_oe, params.gap_extend
     if algo == "local":
         i, j = target_end, query_end
         total_score = score
         curr_score = 0
+    elif algo == "semiglobal":
+        i, j = target_end, query_end
     else:
         i, j = tlen, qlen
     tpad, qpad = dirs.shape
@@ -943,13 +958,25 @@ def decode_tb(
             j -= 1
 
     cigar.append(prev_op | (count << 2))
-    if algo == "global":
+    if algo == "global" or (algo == "semiglobal" and not head_t):
         while i >= 0:
             cigar.append(2 | (min(i + 1, 63) << 2))
             i -= 63
+        if i > -1:
+            i = -1
+    if algo == "global" or (algo == "semiglobal" and not head_q):
         while j >= 0:
             cigar.append(3 | (min(j + 1, 63) << 2))
             j -= 63
+        if j > -1:
+            j = -1
+    if algo == "semiglobal":
+        return {
+            "cigar": np.array(cigar, dtype=np.uint8),
+            "query_start": max(j + 1, 0),
+            "target_start": max(i + 1, 0),
+            "n_ops": len(cigar),
+        }
     return {
         "cigar": np.array(cigar, dtype=np.uint8),
         "query_start": j,

@@ -146,6 +146,9 @@ def align_fasta_pairs(
     algo: AlgoType = AlgoType.LOCAL,
     with_tb: bool = False,
     limit: int | None = None,
+    head: SemiGlobalSkip = SemiGlobalSkip.NONE,
+    tail: SemiGlobalSkip = SemiGlobalSkip.NONE,
+    band_width_tiles: int = 4,
 ):
     """The test_prog driver flow (test_prog.cpp:264-430): read paired
     FASTAs with header-op chars, double-buffered stream dispatch,
@@ -158,7 +161,9 @@ def align_fasta_pairs(
     n = min(len(q_recs), len(t_recs))
     if limit:
         n = min(n, limit)
-    lib = GasalAligner(params, n_streams=2, with_tb=with_tb)
+    lib = GasalAligner(params, n_streams=2, with_tb=with_tb,
+                       head=head, tail=tail,
+                       band_width_tiles=band_width_tiles)
     out = []
     CHUNK = 5000  # STREAM_BATCH_SIZE (test_prog.cpp:12-18)
     pending = []

@@ -175,7 +175,9 @@ def _local_kernel(q_ref, t_ref, out_score, out_qend, out_tend, *rest, params,
         zero,
         jnp.zeros((1, LANES), jnp.int32),
         jnp.full((1, LANES), jnp.int32(jnp.iinfo(jnp.int32).max)),
-        jnp.zeros((Lq, LANES), jnp.int32),
+        # iota-derived zeros: the tbacc carry is shifted in-loop, so a
+        # replicated-layout init fails Mosaic relayout legalization
+        _ij_zero(Lq),
     )
     H, E, best, bkey, _tb = jax.lax.fori_loop(0, Lt, step, init)
     cell = bkey >> 3
@@ -1184,7 +1186,7 @@ def _global_kernel(q_ref, t_ref, qlen_ref, tlen_ref, out_score, *rest,
         return (h, E_new, score, tbacc)
 
     init = (H0, E0, jnp.zeros((1, LANES), jnp.int32),
-            jnp.zeros((Lq, LANES), jnp.int32))
+            _ij_zero(Lq))   # tbacc: non-replicated layout (see local)
     H, E, score, _tb = jax.lax.fori_loop(0, Lt, step, init)
     out_score[...] = score
 
@@ -1252,8 +1254,10 @@ def global_align_tpu(
 
 
 def _semiglobal_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
-                       out_score, out_qend, out_tend, *, params, Lq, Lt,
-                       head_q, head_t, tail_q, tail_t):
+                       out_score, out_qend, out_tend, *rest, params, Lq, Lt,
+                       head_q, head_t, tail_q, tail_t, with_tb=False):
+    if with_tb:
+        (tb_ref,) = rest
     goe = jnp.int32(params.gap_oe)
     ge = jnp.int32(params.gap_extend)
     gapo = jnp.int32(params.gap_open)
@@ -1261,16 +1265,21 @@ def _semiglobal_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
     qlen = qlen_ref[...]
     tlen = tlen_ref[...]
     rows = _row_iota(Lq)
+    # all [Lq, 128] carry inits get the iota-zero added: a lane-
+    # replicated init (rows is lane-constant) pins the fori carry to a
+    # replicated layout the body can't produce once tbacc joins the
+    # carry — Mosaic then fails with "Invalid relayout {0,0}->{0,*}"
+    cz = _ij_zero(Lq)
     if head_q:
-        H0 = jnp.zeros((Lq, LANES), jnp.int32)
-        E0 = jnp.zeros((Lq, LANES), jnp.int32)
+        H0 = cz
+        E0 = cz
     else:
-        H0 = jnp.where(rows == 0, 0, -(gapo + ge * rows))
-        E0 = jnp.full((Lq, LANES), MINUS_INF, jnp.int32)
+        H0 = jnp.where(rows == 0, 0, -(gapo + ge * rows)) + cz
+        E0 = jnp.full((Lq, LANES), MINUS_INF, jnp.int32) + cz
     t_last8 = ((tlen + 7) // 8) * 8 - 1   # [1, 128]
 
     def step(i, carry):
-        H, E, bT_score, bT_pos, Hsnap = carry
+        H, E, bT_score, bT_pos, Hsnap, tbacc = carry
         t_row = t_ref[pl.ds(i, 1), :]
         sub = _sub_scores_tile(
             q_tile, t_row, params.match, params.mismatch, params.n_penalty, False
@@ -1298,15 +1307,32 @@ def _semiglobal_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
             bT_score = jnp.where(upd, lastq, bT_score)
             bT_pos = jnp.where(upd, i, bT_pos)
         Hsnap = jnp.where(i == t_last8, h, Hsnap)
-        return (h, E_used, bT_score, bT_pos, Hsnap)
+        if with_tb:
+            # nibble identical to scan_align._tb_nibble(..., local_floor
+            # =False) — same walk the semiglobal WITH_TB GASAL2 kernel
+            # stores (semiglobal_kernel_template.h CORE_..._TB)
+            m_or_x = jnp.where(sub >= 0, jnp.int32(0), jnp.int32(1))
+            d = jnp.where(h == tmp, m_or_x,
+                          jnp.where(h == f_used, jnp.int32(3), jnp.int32(2)))
+            f_ext = jnp.where((tmp - goe) > (f_used - ge), 0, 1)
+            e_ext = jnp.where((tmp - goe) > (E_used - ge), 0, 1)
+            nib = d | (e_ext << 2) | (f_ext << 3)
+            tbacc = jnp.where((i & 7) == 0, nib, tbacc | (nib << ((i & 7) * 4)))
+
+            @pl.when((i & 7) == 7)
+            def _():
+                tb_ref[pl.ds(i >> 3, 1), :, :] = tbacc[None]
+
+        return (h, E_used, bT_score, bT_pos, Hsnap, tbacc)
 
     init = (
         H0, E0,
         jnp.full((1, LANES), MINUS_INF, jnp.int32),
         tlen,
-        jnp.zeros((Lq, LANES), jnp.int32),
+        cz,             # Hsnap
+        cz,             # tbacc
     )
-    H, E, bT_score, bT_pos, Hsnap = jax.lax.fori_loop(0, Lt, step, init)
+    H, E, bT_score, bT_pos, Hsnap, _tb = jax.lax.fori_loop(0, Lt, step, init)
 
     score = jnp.full((1, LANES), MINUS_INF, jnp.int32)
     qend = tlen          # maxXY_x init = ref_len (reference quirk)
@@ -1332,7 +1358,9 @@ def _semiglobal_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
     out_tend[...] = tend
 
 
-@functools.partial(jax.jit, static_argnames=("params", "head", "tail"))
+@functools.partial(
+    jax.jit, static_argnames=("params", "head", "tail", "with_tb")
+)
 def semiglobal_align_tpu(
     q: jnp.ndarray,
     t: jnp.ndarray,
@@ -1341,8 +1369,11 @@ def semiglobal_align_tpu(
     params: AlignmentParams,
     head=None,
     tail=None,
+    with_tb: bool = False,
 ) -> AlignResult:
-    """Batched GASAL2-semiglobal on TPU via Pallas."""
+    """Batched GASAL2-semiglobal on TPU via Pallas.  with_tb emits the
+    packed direction matrix ([B, Lt//8, Lq] int32 nibbles, identical to
+    the scan engine's) for the semiglobal CIGAR extension."""
     from genomics_tpu.core.scoring import SemiGlobalSkip
 
     head = head or SemiGlobalSkip.NONE
@@ -1369,7 +1400,20 @@ def semiglobal_align_tpu(
         head_t=head in (SemiGlobalSkip.TARGET, SemiGlobalSkip.BOTH),
         tail_q=tail in (SemiGlobalSkip.QUERY, SemiGlobalSkip.BOTH),
         tail_t=tail in (SemiGlobalSkip.TARGET, SemiGlobalSkip.BOTH),
+        with_tb=with_tb,
     )
+    out_shape = [jax.ShapeDtypeStruct((1, B), jnp.int32)] * 3
+    out_specs = [
+        pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
+    ] * 3
+    if with_tb:
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((Lt // 8, Lq, B), jnp.int32)
+        ]
+        out_specs = out_specs + [
+            pl.BlockSpec((Lt // 8, Lq, LANES), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM)
+        ]
     res = pl.pallas_call(
         kernel,
         grid=(ntiles,),
@@ -1379,13 +1423,12 @@ def semiglobal_align_tpu(
             pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((1, B), jnp.int32)] * 3,
-        out_specs=[
-            pl.BlockSpec((1, LANES), lambda b: (0, b), memory_space=pltpu.VMEM)
-        ] * 3,
+        out_shape=out_shape,
+        out_specs=out_specs,
         interpret=_interpret(),
     )(qT, tT, qlenT, tlenT)
-    return AlignResult(res[0][0], res[1][0], res[2][0], None)
+    tb = jnp.transpose(res[3], (2, 0, 1)) if with_tb else None
+    return AlignResult(res[0][0], res[1][0], res[2][0], tb)
 
 
 # ---------------------------------------------------------------------------

@@ -143,10 +143,12 @@ class AlignEngine:
         if algo == AlgoType.SEMI_GLOBAL:
             if self.use_pallas:
                 return pallas_align.semiglobal_align_tpu(
-                    qd, td, ql, tl, p, head=self.head, tail=self.tail
+                    qd, td, ql, tl, p, head=self.head, tail=self.tail,
+                    with_tb=self.with_tb,
                 )
             return scan_align.semiglobal_align_batch(
-                qd, td, ql, tl, p, head=self.head, tail=self.tail
+                qd, td, ql, tl, p, head=self.head, tail=self.tail,
+                with_tb=self.with_tb,
             )
         if algo == AlgoType.KSW:
             if self.use_pallas:
@@ -224,6 +226,16 @@ class AlignEngine:
                 chunked.append((key, idxs[pos:]))
         for (lq, lt), idxs in chunked:
             mult = LANES if self.use_pallas else 8
+            if (
+                self.params.second_best
+                and self.params.algo == AlgoType.LOCAL
+                and self.use_pallas
+                and not self.with_tb
+            ):
+                # pad straight to the inline second-best kernel's floor:
+                # 8x pad compute on a tiny chunk beats the scan engine's
+                # minutes-long TPU compile + ~10x slower cells
+                mult = pallas_align.INTERTASK_MIN
             B = _round_up(len(idxs), mult)
             qb = np.full((B, lq), N4, np.uint8)
             tb = np.full((B, lt), N4, np.uint8)
@@ -307,10 +319,44 @@ class AlignEngine:
                 if packed.dtype == np.uint8:
                     # scan engine emits unpacked [B, Lt, Lq] nibbles; pack
                     packed = _pack_nibbles_np(packed)
-                algo = "local" if self.params.algo == AlgoType.LOCAL else "global"
+                head_q = head_t = False
+                dec_qend, dec_tend = qend, tend
+                if self.params.algo == AlgoType.LOCAL:
+                    algo = "local"
+                elif self.params.algo == AlgoType.SEMI_GLOBAL:
+                    # semiglobal CIGAR extension (golds.decode_tb):
+                    # resolve the walk's start cell from the kernel's
+                    # quirky reported ends per the tail policy, then
+                    # decode with HEAD flags controlling the D/I pad
+                    algo = "semiglobal"
+                    head_q = self.head in (SemiGlobalSkip.QUERY,
+                                           SemiGlobalSkip.BOTH)
+                    head_t = self.head in (SemiGlobalSkip.TARGET,
+                                           SemiGlobalSkip.BOTH)
+                    tail_q = self.tail in (SemiGlobalSkip.QUERY,
+                                           SemiGlobalSkip.BOTH)
+                    tail_t = self.tail in (SemiGlobalSkip.TARGET,
+                                           SemiGlobalSkip.BOTH)
+                    if tail_q:
+                        # kernel fixup rule: the query-tail sweep won
+                        # iff maxXY_x moved off its ref_len init
+                        qwin = qend != tlen
+                        j0 = np.where(qwin, qend, qlen - 1)
+                        i0 = np.where(
+                            qwin, tlen - 1, tend if tail_t else tlen - 1
+                        )
+                    elif tail_t:
+                        j0, i0 = qlen - 1, tend
+                    else:
+                        j0, i0 = qlen - 1, tlen - 1
+                    dec_qend = np.asarray(j0, np.int32)
+                    dec_tend = np.asarray(i0, np.int32)
+                else:
+                    algo = "global"
                 cigars, n_ops, qstart, tstart = native.decode_tb_batch(
                     packed, qlen, tlen, algo, self.params,
-                    score=score, qend=qend, tend=tend,
+                    score=score, qend=dec_qend, tend=dec_tend,
+                    head_q=head_q, head_t=head_t,
                 )
             if second is not None:
                 s2 = np.asarray(second[3])

@@ -45,6 +45,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32),  # qend
                 ctypes.POINTER(ctypes.c_int32),  # tend
                 ctypes.c_int,                    # algo
+                ctypes.c_int,                    # flags (semiglobal heads)
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8),  # cigars
                 ctypes.c_int,                    # max_ops
@@ -87,17 +88,22 @@ def decode_tb_batch(
     qend: np.ndarray | None = None,
     tend: np.ndarray | None = None,
     max_ops: int | None = None,
+    head_q: bool = False,
+    head_t: bool = False,
 ):
     """Batched CIGAR decode.  Returns (cigars [B, max_ops] u8, n_ops,
     qstart, tstart).  Uses the C++ decoder when available, else the
-    Python gold (bit-identical)."""
+    Python gold (bit-identical).  algo: "local" | "global" |
+    "semiglobal" (extension — see golds.decode_tb; qend/tend must be
+    the caller-resolved end cell, head_q/head_t the HEAD skip flags)."""
     packed = np.ascontiguousarray(packed, np.int32)
     B, Lt8, Lq = packed.shape
     Lt = Lt8 * 8
     max_ops = max_ops or (Lq + Lt + 8)
     qlen = np.ascontiguousarray(qlen, np.int32)
     tlen = np.ascontiguousarray(tlen, np.int32)
-    a = 0 if algo == "local" else 1
+    a = {"local": 0, "global": 1, "semiglobal": 2}[algo]
+    flags = (1 if head_q else 0) | (2 if head_t else 0)
     score = np.ascontiguousarray(
         score if score is not None else np.zeros(B), np.int32
     )
@@ -114,7 +120,7 @@ def decode_tb_batch(
             _ptr(packed, ctypes.c_int32), B, Lt8, Lq,
             _ptr(qlen, ctypes.c_int32), _ptr(tlen, ctypes.c_int32),
             _ptr(score, ctypes.c_int32), _ptr(qend, ctypes.c_int32),
-            _ptr(tend, ctypes.c_int32), a,
+            _ptr(tend, ctypes.c_int32), a, flags,
             int(params.match), int(params.mismatch),
             int(params.gap_oe), int(params.gap_extend),
             _ptr(cigars, ctypes.c_uint8), max_ops,
@@ -136,6 +142,7 @@ def decode_tb_batch(
         d = golds.decode_tb(
             nibs[b], int(qlen[b]), int(tlen[b]), algo, params,
             int(score[b]), int(qend[b]), int(tend[b]),
+            head_q=head_q, head_t=head_t,
         )
         k = min(len(d["cigar"]), max_ops)
         cigars[b, :k] = d["cigar"][:k]

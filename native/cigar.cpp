@@ -21,16 +21,23 @@
 extern "C" {
 
 // Decode one alignment's traceback.  Returns number of ops written.
-// algo: 0 = local (score-stop; writes q/t starts), 1 = global (D/I pad).
+// algo: 0 = local (score-stop; writes q/t starts), 1 = global (D/I pad),
+//       2 = semiglobal EXTENSION (the reference writes WITH_TB direction
+//       matrices for semiglobal but never launches gasal_get_tb on them,
+//       gasal_align.h:7-33 — semantics defined by golds.decode_tb):
+//       walk from the caller-resolved end cell; pad leading D only when
+//       the target HEAD is not skipped (flags bit1), leading I only when
+//       the query HEAD is not skipped (flags bit0); starts = first
+//       consumed position of head-skipped dimensions.
 static int decode_one(const int32_t* packed, int Lt8, int Lq,
-                      int qlen, int tlen, int algo,
+                      int qlen, int tlen, int algo, int flags,
                       int score, int qend, int tend,
                       int match, int mismatch, int gap_oe, int gap_extend,
                       uint8_t* out, int max_ops,
                       int32_t* qstart, int32_t* tstart) {
     int i, j;
     int total_score = 0, curr_score = 0;
-    if (algo == 0) {
+    if (algo == 0 || algo == 2) {
         i = tend;
         j = qend;
         total_score = score;
@@ -38,6 +45,7 @@ static int decode_one(const int32_t* packed, int Lt8, int Lq,
         i = tlen;
         j = qlen;
     }
+    int head_q = flags & 1, head_t = flags & 2;
     int Lt = Lt8 * 8;
     uint32_t prev_op = 0;
     int count = 0;
@@ -89,13 +97,15 @@ static int decode_one(const int32_t* packed, int Lt8, int Lq,
     }
     if (n < max_ops) out[n] = (uint8_t)(prev_op | (count << 2));
     n++;
-    if (algo == 1) {
+    if (algo == 1 || (algo == 2 && !head_t)) {
         while (i >= 0) {
             int c = (i + 1) <= 63 ? (i + 1) : 63;
             if (n < max_ops) out[n] = (uint8_t)(2 | (c << 2));
             n++;
             i -= 63;
         }
+    }
+    if (algo == 1 || (algo == 2 && !head_q)) {
         while (j >= 0) {
             int c = (j + 1) <= 63 ? (j + 1) : 63;
             if (n < max_ops) out[n] = (uint8_t)(3 | (c << 2));
@@ -106,6 +116,9 @@ static int decode_one(const int32_t* packed, int Lt8, int Lq,
     if (algo == 0) {
         *qstart = j;
         *tstart = i;
+    } else if (algo == 2) {
+        *qstart = (j + 1) > 0 ? (j + 1) : 0;
+        *tstart = (i + 1) > 0 ? (i + 1) : 0;
     } else {
         *qstart = 0;
         *tstart = 0;
@@ -117,7 +130,7 @@ static int decode_one(const int32_t* packed, int Lt8, int Lq,
 void gt_decode_tb_batch(const int32_t* packed, int B, int Lt8, int Lq,
                         const int32_t* qlen, const int32_t* tlen,
                         const int32_t* score, const int32_t* qend,
-                        const int32_t* tend, int algo,
+                        const int32_t* tend, int algo, int flags,
                         int match, int mismatch, int gap_oe, int gap_extend,
                         uint8_t* cigars, int max_ops, int32_t* n_ops,
                         int32_t* qstart, int32_t* tstart) {
@@ -125,8 +138,9 @@ void gt_decode_tb_batch(const int32_t* packed, int B, int Lt8, int Lq,
     for (int b = 0; b < B; b++) {
         n_ops[b] = decode_one(
             packed + (size_t)b * Lt8 * Lq, Lt8, Lq, qlen[b], tlen[b], algo,
-            score[b], qend[b], tend[b], match, mismatch, gap_oe, gap_extend,
-            cigars + (size_t)b * max_ops, max_ops, &qstart[b], &tstart[b]);
+            flags, score[b], qend[b], tend[b], match, mismatch, gap_oe,
+            gap_extend, cigars + (size_t)b * max_ops, max_ops, &qstart[b],
+            &tstart[b]);
     }
 }
 

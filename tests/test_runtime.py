@@ -174,3 +174,57 @@ def test_engine_score_only_mode():
     fast = AlignEngine(P, use_pallas=True, score_only=True).align(qs, ts)
     for a, b in zip(full, fast):
         assert a.score == b.score
+
+
+def test_engine_semiglobal_cigar_extension():
+    """Semiglobal traceback end-to-end (framework extension — the
+    reference stores semiglobal WITH_TB matrices but never decodes
+    them, gasal_align.h:7-33).  Hand-checked glocal case + scan/Pallas
+    path parity + coverage invariants."""
+    # glocal: query contained in target, free target head+tail
+    eng = AlignEngine(
+        AlignmentParams(algo=AlgoType.SEMI_GLOBAL),
+        with_tb=True,
+        head=SemiGlobalSkip.TARGET,
+        tail=SemiGlobalSkip.TARGET,
+    )
+    res = eng.align(["ACGT"], ["TTACGTTT"])[0]
+    assert res.cigar_string == "4M"
+    assert res.query_start == 0 and res.target_start == 2
+    # query_end == 8 is the preserved GASAL2 quirk: maxXY_x keeps its
+    # ref_len init when the query-tail sweep isn't selected (template
+    # :63-64); the true end is recoverable from the CIGAR span.
+    assert res.query_end == 8 and res.target_end == 5
+
+    rng = np.random.default_rng(13)
+    qs, ts = rand_pairs(rng, 16, lo=8, hi=48)
+    combos = [
+        (SemiGlobalSkip.NONE, SemiGlobalSkip.NONE),
+        (SemiGlobalSkip.TARGET, SemiGlobalSkip.TARGET),
+        (SemiGlobalSkip.QUERY, SemiGlobalSkip.QUERY),
+        (SemiGlobalSkip.BOTH, SemiGlobalSkip.BOTH),
+    ]
+    for head, tail in combos:
+        e1 = AlignEngine(AlignmentParams(algo=AlgoType.SEMI_GLOBAL),
+                         with_tb=True, head=head, tail=tail,
+                         use_pallas=False)
+        e2 = AlignEngine(AlignmentParams(algo=AlgoType.SEMI_GLOBAL),
+                         with_tb=True, head=head, tail=tail,
+                         use_pallas=True)
+        r1 = e1.align(qs, ts)
+        r2 = e2.align(qs, ts)
+        for k, (a, b) in enumerate(zip(r1, r2)):
+            assert a.score == b.score, (head, tail, k)
+            np.testing.assert_array_equal(a.cigar, b.cigar)
+            assert (a.query_start, a.target_start) == (
+                b.query_start, b.target_start)
+        if head == SemiGlobalSkip.NONE:
+            # full-coverage invariant: the walk + pads consume exactly
+            # the start-cell spans from the origin
+            for k, a in enumerate(r1):
+                ops = a.cigar & 3
+                cnt = a.cigar >> 2
+                t_used = int(cnt[(ops == 0) | (ops == 1) | (ops == 2)].sum())
+                q_used = int(cnt[(ops == 0) | (ops == 1) | (ops == 3)].sum())
+                assert t_used == len(ts[k]), k   # covers tlen-1 .. 0
+                assert q_used == len(qs[k]), k
