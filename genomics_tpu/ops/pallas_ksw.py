@@ -1,12 +1,20 @@
-"""Pallas TPU kernel for batched ksw seed extension (bwa-mem
-ksw_extend; reference: CDP/GASAL2/src/kernels/ksw_kernel_template.h).
+"""Pallas TPU kernels for batched ksw seed extension (bwa-mem
+ksw_extend; reference: CDP/GASAL2/src/kernels/ksw_kernel_template.h)
+and banded tiled local alignment (banded.h).
 
-Same batch-in-lanes layout as pallas_align: 128 extensions per program,
-query positions along sublanes, fori_loop over target rows with the
-eh[] state in VMEM.  The data-dependent control flow (beg/end window,
-m==0 break, gscore bookkeeping) is carried as [1, 128] per-lane rows —
-the exact masked-update emulation validated in scan_align.ksw_align_batch
-(gold-parity tested), transposed.
+Two layouts each, chosen by batch size:
+
+- inter-task (B >= 1024): every VPU slot of an [8, 128] tile is a
+  different alignment; the reference's serial per-thread walk runs
+  cell-by-cell with vector registers.  ksw gets dynamic j-walk bounds
+  (the union of live slots' beg/end windows — the SIMD translation of
+  the reference's pruning + m==0 break); banded gets SMEM-scalar band
+  bounds so out-of-band tiles are skipped, not masked.  ~3x the lanes
+  layout (113 / 115 GCUPS on v5e at L=152).
+- batch-in-lanes (small batches): 128 alignments per program, query
+  positions along sublanes, cross-sublane prefix scans for the F
+  chain; masked-update emulation of the data-dependent control flow,
+  validated against scan_align.ksw_align_batch (gold-parity tested).
 """
 from __future__ import annotations
 
@@ -23,6 +31,8 @@ from genomics_tpu.ops.scan_align import AlignResult
 from genomics_tpu.ops.pallas_align import (
     LANES,
     NEG_BIG,
+    INTERTASK_MIN,
+    _ij_zero,
     _interpret,
     _row_iota,
     _fscan_rows,
@@ -136,7 +146,7 @@ def _ksw_kernel(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def ksw_align_tpu(
+def _ksw_align_lanes(
     q: jnp.ndarray,    # [B, Lq] uint8, Lq % 8 == 0
     t: jnp.ndarray,    # [B, Lt]
     qlen: jnp.ndarray,
@@ -166,6 +176,188 @@ def ksw_align_tpu(
         interpret=_interpret(),
     )(qT, tT, qlenT, tlenT, h0T)
     return AlignResult(res[0][0], res[1][0], res[2][0], None)
+
+
+# ---------------------------------------------------------------------------
+# KSW kernel, inter-task layout (fast path, B >= 1024)
+# ---------------------------------------------------------------------------
+
+KSW_SUBS = 8   # [8, 128] slot tile: VMEM-safe with the two eh[] scratch slabs
+
+
+def _ksw_kernel_intertask(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
+                          out_score, out_qend, out_tend,
+                          ehh_ref, ehe_ref, *, params, Lq, Lt):
+    """ksw_extend in the inter-task layout: every VPU slot of an [8, 128]
+    tile is a different extension and the reference's serial per-thread
+    walk (ksw_kernel_template.h:46-203) runs cell-by-cell with vector
+    registers — the f/h1 chains are plain registers along j instead of
+    the lanes layout's cross-sublane prefix scans (~30 slot-ops/cell vs
+    ~55).  The data-dependent beg/end window, m==0 break, gscore and
+    eh[end] bookkeeping are per-slot masks; first/last-active-cell
+    scans for the window update fold into the walk as running min/max."""
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    S = out_score.shape[0]
+    zero = _ij_zero(S)
+    imax = jnp.int32(INT_MAX)
+    qlen = qlen_ref[...]                    # [S, 128]
+    tlen = tlen_ref[...]
+    h0 = h0_ref[...]
+    Lqe = Lq + 8
+
+    # first row: eh[0].h = h0, eh[1].h = max(h0-oe, 0), then the
+    # decreasing chain while eh[j-1].h > e_ins and j <= qlen
+    # (ksw_kernel_template.h:79-83)
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (Lqe, S, LANES), 0)
+    h0b = h0[None]
+    ehh0 = jnp.maximum(h0b - goe - (r3 - 1) * ge, 0)
+    ehh0 = jnp.where(r3 == 0, h0b, ehh0)
+    written = (r3 < 2) | ((h0b - goe - (r3 - 2) * ge) > ge)
+    ehh0 = jnp.where(written & (r3 <= qlen[None]), ehh0, 0)
+    ehh_ref[...] = ehh0
+    ehe_ref[...] = jnp.zeros((Lqe, S, LANES), jnp.int32)
+
+    match = jnp.int32(params.match)
+    mism = jnp.int32(-params.mismatch)
+    npen = (jnp.int32(-params.n_penalty)
+            if params.n_penalty is not None else jnp.int32(0))
+
+    UNROLL = 8
+
+    def do_cell(j, t_i, t_is_n, beg, end, do, rc):
+        h1, f, m, mj, first_act, last_act = rc
+        q_j = q_ref[pl.ds(j, 1), :, :][0]
+        old_h = ehh_ref[pl.ds(j, 1), :, :][0]
+        old_e = ehe_ref[pl.ds(j, 1), :, :][0]
+        inwin = do & (j >= beg) & (j < end)
+        at_end = do & (j == end)
+        s = jnp.where(q_j == t_i, match, mism)
+        s = jnp.where((q_j == N4) | t_is_n, npen, s)
+        M = jnp.where(old_h != 0, old_h + s, 0)
+        h = jnp.maximum(jnp.maximum(M, old_e), f)
+        upd = inwin & (h >= m)             # ref: mj = m > h ? mj : j
+        mj = jnp.where(upd, j, mj)
+        m = jnp.where(upd, h, m)
+        tt = jnp.maximum(M - goe, 0)
+        e_new = jnp.maximum(old_e - ge, tt)
+        f_new = jnp.maximum(f - ge, tt)
+        store_h = jnp.where(inwin | at_end, h1, old_h)
+        store_e = jnp.where(inwin, e_new, jnp.where(at_end, 0, old_e))
+        ehh_ref[pl.ds(j, 1), :, :] = store_h[None]
+        ehe_ref[pl.ds(j, 1), :, :] = store_e[None]
+        act = (store_h != 0) | (store_e != 0)
+        first_act = jnp.minimum(first_act, jnp.where(inwin & act, j, imax))
+        last_act = jnp.maximum(
+            last_act, jnp.where((inwin | at_end) & act, j, NEG_BIG))
+        h1 = jnp.where(inwin, h, h1)
+        f = jnp.where(inwin, f_new, f)
+        return (h1, f, m, mj, first_act, last_act)
+
+    def row(i, carry):
+        beg, end, alive, mx, max_i, max_j, max_ie, gscore = carry
+        do = (alive > 0) & (i < tlen)
+        t_i = t_ref[pl.ds(i, 1), :, :][0]
+        t_is_n = t_i == N4
+        h1_0 = jnp.where(beg == 0, jnp.maximum(h0 - (goe + ge * i), 0), 0)
+
+        def jstep(jt, rc):
+            jj = jt * UNROLL
+            for u in range(UNROLL):
+                rc = do_cell(jj + u, t_i, t_is_n, beg, end, do, rc)
+            return rc
+
+        # dynamic walk bounds: the union of the live slots' [beg, end]
+        # windows — the SIMD translation of the reference's shrinking
+        # beg/end pruning and m==0 break (cells outside every window
+        # are state-no-ops, so skipping them is exact)
+        scal_lo = jnp.min(jnp.where(do, beg, imax))
+        scal_hi = jnp.max(jnp.where(do, end, -1))
+        init = (h1_0, zero, zero, zero - 1, zero + imax, zero + NEG_BIG)
+        h1, f, m, mj, first_act, last_act = jax.lax.fori_loop(
+            scal_lo // UNROLL, (scal_hi + UNROLL + 1) // UNROLL, jstep, init)
+
+        # row epilogue, in reference order: gscore (uses old end), the
+        # m==0 break, the max update, then the beg/end window update
+        gupd = do & (end == qlen) & (gscore <= h1)
+        max_ie = jnp.where(gupd, i, max_ie)
+        gscore = jnp.where(gupd, h1, gscore)
+        died = do & (m == 0)
+        alive = jnp.where(died, 0, alive)
+        do2 = do & (m != 0)
+        mupd = do2 & (m > mx)
+        mx = jnp.where(mupd, m, mx)
+        max_i = jnp.where(mupd, i, max_i)
+        max_j = jnp.where(mupd, mj, max_j)
+        beg_new = jnp.minimum(first_act, end)
+        last2 = jnp.maximum(last_act, beg_new - 1)
+        end_new = jnp.minimum(last2 + 2, qlen)
+        beg = jnp.where(do2, beg_new, beg)
+        end = jnp.where(do2, end_new, end)
+        return (beg, end, alive, mx, max_i, max_j, max_ie, gscore)
+
+    init = (zero, qlen, zero + 1, h0,
+            zero - 1, zero - 1, zero - 1, zero - 1)
+    (beg, end, alive, mx, max_i, max_j, max_ie, gscore) = jax.lax.fori_loop(
+        0, jnp.max(tlen), row, init)
+    clip = (gscore <= 0) | (gscore <= mx - 5)   # PEN_CLIP5
+    out_score[...] = jnp.where(clip, mx, gscore)
+    out_qend[...] = jnp.where(clip, max_j + 1, qlen)
+    out_tend[...] = jnp.where(clip, max_i + 1, max_ie + 1)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _ksw_align_intertask(q, t, qlen, tlen, h0, params):
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    nb = B // LANES
+    subs = KSW_SUBS
+    # j walks one past qlen <= Lq for the eh[end] store: pad 8 query rows
+    Q3 = jnp.pad(q.T.astype(jnp.int32), ((0, 8), (0, 0)),
+                 constant_values=int(N4)).reshape(Lq + 8, nb, LANES)
+    T3 = t.T.astype(jnp.int32).reshape(Lt, nb, LANES)
+    qlen2 = jnp.asarray(qlen, jnp.int32).reshape(nb, LANES)
+    tlen2 = jnp.asarray(tlen, jnp.int32).reshape(nb, LANES)
+    h02 = jnp.asarray(h0, jnp.int32).reshape(nb, LANES)
+    kernel = functools.partial(
+        _ksw_kernel_intertask, params=params, Lq=Lq, Lt=Lt)
+    slot = pl.BlockSpec((subs, LANES), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    res = pl.pallas_call(
+        kernel,
+        grid=(B // (subs * LANES),),
+        in_specs=[
+            pl.BlockSpec((Lq + 8, subs, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, subs, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            slot, slot, slot,
+        ],
+        out_shape=[jax.ShapeDtypeStruct((nb, LANES), jnp.int32)] * 3,
+        out_specs=[slot] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((Lq + 8, subs, LANES), jnp.int32),
+            pltpu.VMEM((Lq + 8, subs, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(Q3, T3, qlen2, tlen2, h02)
+    score, qend, tend = (r.reshape(B) for r in res)
+    return AlignResult(score, qend, tend, None)
+
+
+def ksw_align_tpu(
+    q: jnp.ndarray,    # [B, Lq] uint8, Lq % 8 == 0
+    t: jnp.ndarray,    # [B, Lt]
+    qlen: jnp.ndarray,
+    tlen: jnp.ndarray,
+    h0: jnp.ndarray,
+    params: AlignmentParams,
+) -> AlignResult:
+    """Batched ksw_extend: inter-task layout from B=1024, lanes below."""
+    B = q.shape[0]
+    if B % (KSW_SUBS * LANES) == 0 and B >= INTERTASK_MIN:
+        return _ksw_align_intertask(q, t, qlen, tlen, h0, params)
+    return _ksw_align_lanes(q, t, qlen, tlen, h0, params)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +426,145 @@ def _banded_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
     out_tend[...] = jnp.where(nz, (cell // Lq) * 8 + (bkey & 7), 0)
 
 
+def _banded_kernel_intertask(q_ref, t_ref, qr_ref, tr_ref, bounds_ref,
+                             out_score, out_qend, out_tend,
+                             hcol_ref, ecol_ref, *, params, Lq, Lt, k_band):
+    """gasal_banded_tiled_kernel in the inter-task layout.  The
+    reference's per-thread walk (banded.h:72-131) is per-slot here:
+    target strips of 8 bases, query rows restricted to the tile band
+    [max(0, i-k_other+1), min(k_band+i, qr)), with the old h-based
+    f/e chains (CORE_LOCAL_DEPRECATED style that banded.h uses) and
+    the stale out-of-band global[] quirk (scratch only written
+    in-band).  The strip register reset (h/f/p = 0, banded.h:74-78)
+    falls out of masked carries: a slot's registers stay at strip-init
+    until its band starts.  Loop bounds come from SMEM scalars
+    (min/max tile counts over the batch) so the walk skips out-of-band
+    tiles instead of masking the full rectangle."""
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    S = out_score.shape[0]
+    zero = _ij_zero(S)
+    imax = jnp.int32(INT_MAX)
+    qr = qr_ref[...]                         # [S,128] query tiles (ceil/8)
+    tr = tr_ref[...]
+    qr_min = bounds_ref[0]
+    qr_max = bounds_ref[1]
+    tr_max = bounds_ref[2]
+    ko_max = tr_max - qr_min + k_band
+
+    hcol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
+    ecol_ref[...] = jnp.zeros(ecol_ref.shape, jnp.int32)
+
+    match = jnp.int32(params.match)
+    mism = jnp.int32(-params.mismatch)
+    npen = (jnp.int32(-params.n_penalty)
+            if params.n_penalty is not None else jnp.int32(0))
+
+    def strip(ib, carry):
+        M, K = carry
+        t_strip = t_ref[pl.ds(ib * 8, 8), :, :]       # [8, S, 128]
+        t_is_n = t_strip == N4
+        ko = tr - qr + jnp.int32(k_band)
+        j0 = jnp.maximum(0, ib - ko + 1) * 8          # [S,128]
+        jend = jnp.minimum(jnp.int32(k_band) + ib, qr) * 8
+        visit = ib < tr
+
+        def do_row(j, Hprev, F, diag0, M, K):
+            q_j = q_ref[pl.ds(j, 1), :, :][0]
+            q_is_n = q_j == N4
+            hcol_j = hcol_ref[pl.ds(j, 1), :, :][0]
+            e = ecol_ref[pl.ds(j, 1), :, :][0]
+            e_old = e
+            inb = visit & (j >= j0) & (j < jend)
+            h_new = []
+            F_new = []
+            for c in range(8):
+                t_c = t_strip[c]
+                s = jnp.where(q_j == t_c, match, mism)
+                s = jnp.where(q_is_n | t_is_n[c], npen, s)
+                fc = jnp.maximum(Hprev[c] - goe, F[c] - ge)
+                diag = diag0 if c == 0 else Hprev[c - 1]
+                hm = jnp.maximum(jnp.maximum(diag + s, fc), 0)
+                hleft = hcol_j if c == 0 else h_new[c - 1]
+                e = jnp.maximum(hleft - goe, e - ge)
+                hm = jnp.maximum(hm, e)
+                key = (ib * Lq + j) * 8 + c
+                take = inb & (hm > M)
+                M = jnp.where(take, hm, M)
+                K = jnp.where(take, key, K)
+                F_new.append(fc)
+                h_new.append(hm)
+            hcol_ref[pl.ds(j, 1), :, :] = jnp.where(inb, h_new[7],
+                                                    hcol_j)[None]
+            ecol_ref[pl.ds(j, 1), :, :] = jnp.where(inb, e, e_old)[None]
+            Hp = [jnp.where(inb, h_new[c], Hprev[c]) for c in range(8)]
+            Fp = [jnp.where(inb, F_new[c], F[c]) for c in range(8)]
+            diag0 = jnp.where(inb, hcol_j, diag0)
+            return (Hp, Fp, diag0, M, K)
+
+        def tile(jt, rc):
+            Hprev, F, diag0, M, K = rc
+            for u in range(8):
+                Hprev, F, diag0, M, K = do_row(
+                    jt * 8 + u, Hprev, F, diag0, M, K)
+            return (Hprev, F, diag0, M, K)
+
+        jlo = jnp.maximum(0, ib - ko_max + 1)
+        jhi = jnp.minimum(jnp.int32(k_band) + ib, qr_max)
+        init = ([zero] * 8, [zero] * 8, zero, M, K)
+        out = jax.lax.fori_loop(jlo, jhi, tile, init)
+        return (out[3], out[4])
+
+    M, K = jax.lax.fori_loop(0, tr_max, strip, (zero, zero + imax))
+    cell = K >> 3
+    nz = M > 0
+    out_score[...] = M
+    out_qend[...] = jnp.where(nz, cell % Lq, 0)
+    out_tend[...] = jnp.where(nz, (cell // Lq) * 8 + (K & 7), 0)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "band_width_tiles"))
+def _banded_align_intertask(q, t, qlen, tlen, params, band_width_tiles):
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    nb = B // LANES
+    subs = KSW_SUBS
+    Q3 = q.T.astype(jnp.int32).reshape(Lq, nb, LANES)
+    T3 = t.T.astype(jnp.int32).reshape(Lt, nb, LANES)
+    qlen = jnp.asarray(qlen, jnp.int32)
+    tlen = jnp.asarray(tlen, jnp.int32)
+    qr = ((qlen + 7) // 8).reshape(nb, LANES)
+    tr = ((tlen + 7) // 8).reshape(nb, LANES)
+    bounds = jnp.stack([jnp.min(qr), jnp.max(qr), jnp.max(tr),
+                        jnp.int32(0)]).astype(jnp.int32)
+    kernel = functools.partial(
+        _banded_kernel_intertask, params=params, Lq=Lq, Lt=Lt,
+        k_band=band_width_tiles)
+    slot = pl.BlockSpec((subs, LANES), lambda b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    res = pl.pallas_call(
+        kernel,
+        grid=(B // (subs * LANES),),
+        in_specs=[
+            pl.BlockSpec((Lq, subs, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, subs, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            slot, slot,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((nb, LANES), jnp.int32)] * 3,
+        out_specs=[slot] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(Q3, T3, qr, tr, bounds)
+    score, qend, tend = (r.reshape(B) for r in res)
+    return AlignResult(score, qend, tend, None)
+
+
 def banded_align_tpu(
     q: jnp.ndarray,
     t: jnp.ndarray,
@@ -244,7 +574,26 @@ def banded_align_tpu(
     band_width_tiles: int,
 ) -> AlignResult:
     """Batched banded local DP on TPU (banded.h semantics, stale
-    out-of-band state preserved via masked writes)."""
+    out-of-band state preserved): inter-task layout from B=1024,
+    lanes layout below."""
+    B = q.shape[0]
+    if B % (KSW_SUBS * LANES) == 0 and B >= INTERTASK_MIN:
+        return _banded_align_intertask(q, t, qlen, tlen, params,
+                                       band_width_tiles)
+    return _banded_align_lanes(q, t, qlen, tlen, params, band_width_tiles)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "band_width_tiles"))
+def _banded_align_lanes(
+    q: jnp.ndarray,
+    t: jnp.ndarray,
+    qlen: jnp.ndarray,
+    tlen: jnp.ndarray,
+    params: AlignmentParams,
+    band_width_tiles: int,
+) -> AlignResult:
+    """Batched banded local DP on TPU (banded.h semantics, stale
+    out-of-band quirk preserved via masked writes) — lanes layout."""
     B, Lq = q.shape
     Lt = t.shape[1]
     assert B % LANES == 0 and Lq % 8 == 0

@@ -137,6 +137,47 @@ def test_ksw_kernel_matches_scan():
     np.testing.assert_array_equal(np.asarray(res.target_end), np.asarray(ref.target_end))
 
 
+def test_ksw_intertask_matches_scan():
+    """B=1024 engages the inter-task ksw layout (serial per-slot walk
+    with dynamic union-window bounds); must match the scan engine
+    bit-exactly, including window-shrink and m==0-break cases."""
+    from genomics_tpu.ops import pallas_ksw
+
+    rng = np.random.default_rng(21)
+    pb = make_batch(rng, n=1024)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ql, tl = jnp.asarray(pb.query.lengths), jnp.asarray(pb.target.lengths)
+    h0 = jnp.asarray(rng.integers(0, 60, pb.size).astype(np.int32))
+    res = pallas_ksw._ksw_align_intertask(q, t, ql, tl, h0, P)
+    ref = scan_align.ksw_align_batch(q, t, ql, tl, h0, P)
+    np.testing.assert_array_equal(np.asarray(res.score), np.asarray(ref.score))
+    np.testing.assert_array_equal(np.asarray(res.query_end), np.asarray(ref.query_end))
+    np.testing.assert_array_equal(np.asarray(res.target_end), np.asarray(ref.target_end))
+
+
+def test_banded_intertask_matches_scan():
+    """B=1024 engages the inter-task banded layout (SMEM-bounded band
+    walk, stale out-of-band scratch quirk)."""
+    from genomics_tpu.ops import pallas_ksw
+
+    rng = np.random.default_rng(22)
+    pb = make_batch(rng, n=1024, qmax=48, tmax=48, q_pad=56, t_pad=56)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ql, tl = jnp.asarray(pb.query.lengths), jnp.asarray(pb.target.lengths)
+    for band in (1, 2, 4):
+        res = pallas_ksw._banded_align_intertask(q, t, ql, tl, P, band)
+        ref = scan_align.banded_align_batch(q, t, ql, tl, P, band_width_tiles=band)
+        np.testing.assert_array_equal(
+            np.asarray(res.score), np.asarray(ref.score), err_msg=f"band={band}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.query_end), np.asarray(ref.query_end)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.target_end), np.asarray(ref.target_end)
+        )
+
+
 def test_banded_kernel_matches_scan():
     from genomics_tpu.ops import pallas_ksw
 
