@@ -72,7 +72,9 @@ def bench_sw_tb(B=4096, L=152):
     return B * L * L / dt / 1e9
 
 
-def bench_pairhmm(B=16384, R=128, C=128, chain=10):
+def bench_pairhmm(B=16384, R=128, C=128, chain=10, exact=False):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +83,7 @@ def bench_pairhmm(B=16384, R=128, C=128, chain=10):
     if on_tpu:
         from genomics_tpu.ops import pallas_pairhmm as eng
 
-        fn = eng.pairhmm_forward_tpu
+        fn = functools.partial(eng.pairhmm_forward_tpu, exact=exact)
     else:
         from genomics_tpu.ops import scan_pairhmm as eng
 
@@ -306,6 +308,7 @@ def main():
         ("sw_score_gcups", bench_sw),
         ("sw_traceback_gcups", bench_sw_tb),
         ("pairhmm_gcups", bench_pairhmm),
+        ("pairhmm_exact_gcups", lambda: bench_pairhmm(exact=True)),
         ("myers_gcups", bench_myers),
         ("ksw_gcups", bench_ksw),
         ("banded_gcups", bench_banded),

@@ -59,6 +59,8 @@ def main(argv=None):
     p = sub.add_parser("pairhmm", help="PairHMM forward likelihoods")
     p.add_argument("dataset")
     p.add_argument("--fakesize", type=int, default=None)
+    p.add_argument("--exact", action="store_true",
+                   help="bit-exact __fmaf_rn math (slower)")
 
     p = sub.add_parser("msa", help="center-star MSA")
     p.add_argument("input")
@@ -180,7 +182,8 @@ def main(argv=None):
     elif args.cmd == "pairhmm":
         from genomics_tpu.models import pairhmm
 
-        res = pairhmm.run_dataset(args.dataset, fakesize=args.fakesize)
+        res = pairhmm.run_dataset(args.dataset, fakesize=args.fakesize,
+                                  exact=args.exact)
         print(f"  i=0  {res.likelihoods[0]:e}")
         print(f"GCUPS: {res.gcups:f}")
     elif args.cmd == "msa":

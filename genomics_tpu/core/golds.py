@@ -1003,6 +1003,19 @@ def cigar_to_string(cigar_bytes: np.ndarray) -> str:
 
 INITIAL_CONSTANT = np.float32(1.329228e36)  # 2^120, warp_based.cu:89
 
+# single-rounded f32 a*b+c (reference __fmaf_rn): hardware fmaf via libm.
+# (f64 emulation — f32(f64(a)*f64(b)+f64(c)) — is double rounding and can
+# be 1 ulp off the true fused result in rare near-tie cases.)
+import ctypes as _ctypes
+
+_libm = _ctypes.CDLL("libm.so.6")
+_libm.fmaf.restype = _ctypes.c_float
+_libm.fmaf.argtypes = [_ctypes.c_float] * 3
+
+
+def _fmaf_rn(a, b, c) -> np.float32:
+    return np.float32(_libm.fmaf(float(a), float(b), float(c)))
+
 
 def ph2pr_table() -> np.ndarray:
     """ph2pr[q] = 10^(-q/10) in f32 (warp_based.cu:209-213)."""
@@ -1049,10 +1062,7 @@ def pairhmm_forward(
     D0 = np.float32(INITIAL_CONSTANT / np.float32(C))
 
     f32 = np.float32
-
-    def fma(a, b, c):
-        # single-rounded a*b+c (reference __fmaf_rn)
-        return f32(np.float64(a) * np.float64(b) + np.float64(c))
+    fma = _fmaf_rn
 
     # row r-1 state across columns
     Mprev = np.zeros(C, dtype=np.float32)

@@ -52,12 +52,16 @@ def _pad_records(records, lane_multiple: int):
     return reads, haps, rlen, clen, bq, iq, dq, B
 
 
-def compute_likelihoods(records, replicate_to: int | None = None) -> PairHMMResult:
+def compute_likelihoods(records, replicate_to: int | None = None,
+                        exact: bool = False) -> PairHMMResult:
     """Forward likelihoods for (read, hap) records.
 
     replicate_to: like the reference's fakesize batch replication
     (warp_based.cu:276-293) — tile the records up to this batch size
-    for throughput measurement."""
+    for throughput measurement.
+    exact: on TPU, compute the reference's __fmaf_rn sites with
+    single-rounded emulated FMAs (bit parity with the CUDA math,
+    ~4x slower); default is the fast two-rounded VPU form."""
     if replicate_to and replicate_to > len(records):
         reps = (replicate_to + len(records) - 1) // len(records)
         records = (records * reps)[:replicate_to]
@@ -75,7 +79,8 @@ def compute_likelihoods(records, replicate_to: int | None = None) -> PairHMMResu
 
     t0 = time.perf_counter()
     if on_tpu:
-        out = eng.pairhmm_forward_tpu(reads, haps, rlen, clen, bq, iq, dq)
+        out = eng.pairhmm_forward_tpu(reads, haps, rlen, clen, bq, iq, dq,
+                                      exact=exact)
     else:
         out = eng.pairhmm_forward_batch(reads, haps, rlen, clen, bq, iq, dq)
     out = np.asarray(out)[:B]
@@ -86,11 +91,12 @@ def compute_likelihoods(records, replicate_to: int | None = None) -> PairHMMResu
     )
 
 
-def run_dataset(path: str, fakesize: int | None = None) -> PairHMMResult:
+def run_dataset(path: str, fakesize: int | None = None,
+                exact: bool = False) -> PairHMMResult:
     """The reference driver flow: parse dataset, (optionally) replicate
     to fakesize, compute, report GCUPS (warp_based.cu:196-447)."""
     records = golds.read_pairhmm_dataset(path)
-    return compute_likelihoods(records, replicate_to=fakesize)
+    return compute_likelihoods(records, replicate_to=fakesize, exact=exact)
 
 
 def verify_against_gold(path: str, limit: int = 8):

@@ -122,6 +122,59 @@ def test_pairhmm_kernel_matches_scan():
     np.testing.assert_allclose(got, ref, rtol=1e-6)
 
 
+def test_pairhmm_exact_mode_bit_exact_vs_gold():
+    """exact=True reproduces the gold (true __fmaf_rn via libm)
+    float-for-float: host-divided D0/params + in-kernel single-rounded
+    FMA emulation."""
+    from genomics_tpu.core import golds
+    from genomics_tpu.ops import pallas_pairhmm
+
+    rng = np.random.default_rng(17)
+    recs = []
+    for _ in range(24):
+        R = int(rng.integers(2, 40))
+        C = int(rng.integers(2, 50))
+        recs.append(
+            dict(
+                read="".join(rng.choice(list("ACGT"), R)),
+                hap="".join(rng.choice(list("ACGT"), C)),
+                base_quals=rng.integers(5, 60, R),
+                ins_quals=rng.integers(5, 60, R),
+                del_quals=rng.integers(5, 60, R),
+            )
+        )
+    got = pallas_pairhmm.pairhmm_forward_tpu_dataset(
+        recs, pad_r=48, pad_c=56, exact=True)
+    want = np.array([
+        golds.pairhmm_forward(r["read"], r["hap"], r["base_quals"],
+                              r["ins_quals"], r["del_quals"])
+        for r in recs
+    ], np.float32)
+    np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))
+
+
+def test_fma_rn_emulation_matches_libm():
+    """The in-kernel FMA emulation == libm fmaf bit-for-bit over
+    mixed-magnitude inputs (incl. PairHMM's 2^115-scale DP values)."""
+    import jax
+
+    from genomics_tpu.core.golds import _fmaf_rn
+    from genomics_tpu.ops.pallas_pairhmm import _fma_rn
+
+    rng = np.random.default_rng(5)
+    N = 4096
+    a = ((rng.random(N, np.float32) * 2 - 1)
+         * np.exp2(rng.integers(-30, 115, N)).astype(np.float32))
+    b = (rng.random(N, np.float32)
+         * np.exp2(rng.integers(-44, 1, N)).astype(np.float32))
+    c = ((rng.random(N, np.float32) * 2 - 1)
+         * np.exp2(rng.integers(-30, 110, N)).astype(np.float32))
+    got = np.asarray(jax.jit(_fma_rn)(a, b, c))
+    want = np.array([_fmaf_rn(x, y, z) for x, y, z in zip(a, b, c)],
+                    np.float32)
+    np.testing.assert_array_equal(got.view(np.int32), want.view(np.int32))
+
+
 def test_ksw_kernel_matches_scan():
     from genomics_tpu.ops import pallas_ksw
 
