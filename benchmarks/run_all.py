@@ -251,6 +251,55 @@ def bench_sharded_sw(L=152, chain=40):
     return chain * B * L * L / best / 1e9, n_dev
 
 
+def bench_corrector(n_reads=20000, read_len=100, genome=20000, err=0.01):
+    """Lighter pass-3 throughput (reads/s) on ~30x synthetic coverage
+    with 1% errors — the data-parallel per-read loop the reference runs
+    on device (error_correct.cu:85-716)."""
+    from genomics_tpu.models.corrector import LighterCorrector
+
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 4, genome)
+    bases = np.array(list("ACGT"))
+    reads = []
+    starts = rng.integers(0, genome - read_len, n_reads)
+    for p in starts:
+        r = g[p:p + read_len].copy()
+        e = rng.random(read_len) < err
+        r[e] = (r[e] + rng.integers(1, 4, int(e.sum()))) % 4
+        reads.append("".join(bases[r]))
+    c = LighterCorrector(k=17, genome_size=genome)
+    c.build(reads[: min(n_reads, 6000)])
+    sub = reads[: min(n_reads, 20000)]
+    t0 = time.time()
+    c.correct_batch(sub)
+    return len(sub) / (time.time() - t0)
+
+
+def bench_mapper(n_reads=2000, read_len=100, genome=100000, err=0.01):
+    """Single-end mapper throughput (reads/s), steady-state (the first
+    call pays jit compiles for the candidate buckets)."""
+    from genomics_tpu.models.mapper import ReadMapper
+
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 4, genome)
+    bases = np.array(list("ACGT"))
+    ref = "".join(bases[g])
+    reads = []
+    for p in rng.integers(0, genome - read_len, n_reads * 2):
+        r = g[p:p + read_len].copy()
+        e = rng.random(read_len) < err
+        r[e] = (r[e] + rng.integers(1, 4, int(e.sum()))) % 4
+        reads.append("".join(bases[r]))
+    m = ReadMapper(ref)
+    m.map_batch(reads[:n_reads])                  # compile + warm
+    t0 = time.time()
+    out = m.map_batch(reads[n_reads:])
+    dt = time.time() - t0
+    mapped = sum(1 for x in out if x.pos > 0)
+    assert mapped >= n_reads * 0.95, f"only {mapped}/{n_reads} mapped"
+    return n_reads / dt
+
+
 def pairhmm_grid_parity():
     """Full bundled dataset-grid parity on the ACTIVE backend with an
     exact-equality check (VERDICT r1 weak #6): records whether the TPU
@@ -312,13 +361,16 @@ def main():
         ("myers_gcups", bench_myers),
         ("ksw_gcups", bench_ksw),
         ("banded_gcups", bench_banded),
+        ("corrector_reads_per_s", bench_corrector),
+        ("mapper_reads_per_s", bench_mapper),
     ]
     for name, fn in metrics:
         try:
             v = fn()
             out[name] = round(v, 2)
+            unit = "reads/s" if name.endswith("reads_per_s") else "GCUPS"
             print(json.dumps({"metric": name, "value": round(v, 2),
-                              "unit": "GCUPS", "backend": backend}))
+                              "unit": unit, "backend": backend}))
         except Exception as e:
             out[name] = {"error": str(e)[:120]}
             print(json.dumps({"metric": name, "error": str(e)[:120]}))

@@ -188,6 +188,7 @@ class LighterCorrector:
         self.sampled: BloomFilter | None = None
         self.trusted: BloomFilter | None = None
         self.threshold: np.ndarray | None = None
+        self._probe_cache: dict = {}
 
     # -- passes 1 + 2 -----------------------------------------------------
 
@@ -269,13 +270,19 @@ class LighterCorrector:
             if allt.any():
                 B.insert(keys[allt])
         self.trusted = B
+        self._probe_cache = {}
 
     # -- pass 3: correction (error_correct.cu transcription) --------------
 
     def _is_trusted(self, kmer: _KmerCode) -> bool:
-        return kmer.is_valid() and bool(
-            self.trusted.query(np.array([kmer.code], np.uint64))[0]
-        )
+        if not kmer.is_valid():
+            return False
+        code = kmer.code
+        cache = self._probe_cache
+        hit = cache.get(code)
+        if hit is None:
+            hit = cache[code] = self.trusted.query_one(code)
+        return hit
 
     def _mark_solid(self, read):
         """Vectorized mark_solid_kmers (error_correct.cu:95-107): a
@@ -292,18 +299,17 @@ class LighterCorrector:
 
     @staticmethod
     def _longest_solid(kmer_count, solid):
-        longest, stored, begin = 0, 0, -1
-        for i in range(kmer_count):
-            if solid[i]:
-                stored += 1
-            else:
-                if longest < stored:
-                    longest, begin = stored, i - stored
-                stored = 0
-        if longest < stored:
-            longest, begin = stored, kmer_count - stored
-        if longest == 0:
+        """Longest run of solid k-mers; first run wins ties (the
+        reference's strict `longest < stored`).  Vectorized run-length."""
+        s = np.zeros(kmer_count + 2, np.int8)
+        s[1:-1] = np.asarray(solid[:kmer_count], np.int8)
+        d = np.diff(s)
+        starts = np.nonzero(d == 1)[0]
+        if not len(starts):
             return (0, 0)
+        lengths = np.nonzero(d == -1)[0] - starts
+        j = int(np.argmax(lengths))
+        longest, begin = int(lengths[j]), int(starts[j])
         if longest >= kmer_count:
             return (begin, kmer_count)
         return (begin, begin + longest)
@@ -571,15 +577,18 @@ class LighterCorrector:
         Returns (corrected_read, n_corrections) with n_corrections = -1
         for unreliable reads (left unchanged)."""
         assert self.trusted is not None, "call build() first"
-        K = self.k
         codes = encode2(read).copy()
         codes = np.where(codes == 255, 4, codes).astype(np.int64)
-        read_len = len(codes)
-        if read_len < K:
+        if len(codes) < self.k:
             return read, 0
+        return self._correct_prepared(read, codes, self._mark_solid(codes),
+                                      qual)
+
+    def _correct_prepared(self, read, codes, solid, qual=None):
+        K = self.k
+        read_len = len(codes)
         if qual is None:
             qual = np.full(read_len, 40, np.int64)
-        solid = self._mark_solid(codes)
         kmer_count = read_len - K + 1
         fix = np.full(read_len, -1, np.int64)
         longest = self._longest_solid(kmer_count, solid)
@@ -593,29 +602,63 @@ class LighterCorrector:
         bad_prefix, amb_l = self._fix_left(read_len, codes, longest, fix, solid)
         ambiguous = amb_r or amb_l
 
-        # max-correction density cap (:672-687)
-        cc = 0.0
-        for i in range(read_len):
-            if i >= K and fix[i - K] >= 0 and codes[i - K] < 4:
-                cc -= 0.5 if qual[i - K] <= self.bad_quality else 1.0
-            if fix[i] >= 0 and codes[i] < 4:
-                cc += 0.5 if qual[i] <= self.bad_quality else 1.0
-            if cc > self.max_correction:
-                return read, -1
+        # max-correction density cap (:672-687), vectorized: cc at i is
+        # the weight sum over the K-wide window ending at i
+        w = np.where(
+            (fix >= 0) & (codes < 4),
+            np.where(qual <= self.bad_quality, 0.5, 1.0),
+            0.0,
+        )
+        cs = np.concatenate([[0.0], np.cumsum(w)])
+        cc = cs[1:] - cs[np.maximum(np.arange(read_len) - K + 1, 0)]
+        if (cc > self.max_correction).any():
+            return read, -1
 
-        corrections = 0
         out = codes.copy()
-        for i in range(bad_prefix, trim_start):
-            if fix[i] < 0:
-                continue
-            if out[i] != fix[i]:
-                out[i] = fix[i]
-                corrections += 1
+        window = slice(bad_prefix, trim_start)
+        apply_ = (fix[window] >= 0) & (out[window] != fix[window])
+        corrections = int(apply_.sum())
+        out[window] = np.where(apply_, fix[window], out[window])
         bad_suffix = read_len - trim_start
         if corrections == 0 and bad_prefix == 0 and bad_suffix == 0 and ambiguous:
             return read, -1
         fixed = "".join("ACGTN"[int(c)] for c in out)
         return fixed, corrections
 
-    def correct_batch(self, reads: list[str]):
-        return [self.correct(r) for r in reads]
+    def correct_batch(self, reads: list[str], quals=None):
+        """Batched pass 3: the solid-kmer marking (the only densely
+        data-parallel part — error_correct.cu:95-107 runs it
+        device-parallel per read) is ONE Bloom query over every k-mer
+        of every read; the data-dependent fix walks then run per read
+        on scalar-int Bloom probes."""
+        assert self.trusted is not None, "call build() first"
+        self._probe_cache = {}
+        K = self.k
+        enc = []
+        for r in reads:
+            c = encode2(r).copy()
+            enc.append(np.where(c == 255, 4, c).astype(np.int64))
+        keys_all, valid_all, spans = [], [], []
+        off = 0
+        for c in enc:
+            keys, valid = self._read_kmers(
+                np.where(c >= 4, 255, c).astype(np.uint8))
+            keys_all.append(keys)
+            valid_all.append(valid)
+            spans.append((off, off + len(keys)))
+            off += len(keys)
+        if off:
+            kcat = np.concatenate(keys_all)
+            vcat = np.concatenate(valid_all)
+            scat = np.zeros(off, bool)
+            if vcat.any():
+                scat[vcat] = self.trusted.query(kcat[vcat])
+        out = []
+        for i, (r, c) in enumerate(zip(reads, enc)):
+            if len(c) < K:
+                out.append((r, 0))
+                continue
+            lo, hi = spans[i]
+            qual = None if quals is None else quals[i]
+            out.append(self._correct_prepared(r, c, scat[lo:hi], qual))
+        return out

@@ -165,13 +165,12 @@ class ReadMapper:
                     out.append((o, int(h)))
         return out
 
-    def _diagonals(self, read_codes: np.ndarray) -> list[int]:
-        """Seed + vote → candidate window start diagonals (global)."""
-        pairs = self._seed_hits(read_codes)
-        if not pairs:
+    def _vote(self, diags: np.ndarray) -> list[int]:
+        """Group seed diagonals within the band, rank bins by vote
+        count (ties → lower diagonal), emit the median diagonal of the
+        top max_candidates bins."""
+        if not len(diags):
             return []
-        diags = np.array([p - o for o, p in pairs])
-        # vote: group diagonals within the band
         binned = diags // max(self.band, 1)
         uniq, counts = np.unique(binned, return_counts=True)
         order = np.argsort(-counts, kind="stable")
@@ -179,6 +178,47 @@ class ReadMapper:
         for b in uniq[order][: self.max_candidates]:
             members = diags[binned == b]
             out.append(int(np.median(members)))
+        return out
+
+    def _diagonals(self, read_codes: np.ndarray) -> list[int]:
+        """Seed + vote → candidate window start diagonals (global)."""
+        pairs = self._seed_hits(read_codes)
+        if not pairs:
+            return []
+        return self._vote(np.array([p - o for o, p in pairs]))
+
+    def _diagonals_all(self, codes_list: list[np.ndarray]) -> list[list[int]]:
+        """Batched seeding: ONE index lookup for every seed of every
+        read/strand variant (replaces the per-read hits() calls —
+        nvBowtie's map_queries similarly seeds the whole batch in one
+        kernel, mapping.cu), then per-variant diagonal voting on the
+        grouped hit slices."""
+        if self.seeder == "fm":
+            return [self._diagonals(c) for c in codes_list]
+        q = self.seed_len
+        keys_cat, owner_cat, offs_cat = [], [], []
+        for vi, rc in enumerate(codes_list):
+            L = len(rc)
+            if L < q:
+                continue
+            offs = np.arange(0, L - q + 1, self.seed_interval)
+            keys_cat.append(qgrams_of(rc, q)[offs])
+            owner_cat.append(np.full(len(offs), vi, np.int64))
+            offs_cat.append(offs)
+        out: list[list[int]] = [[] for _ in codes_list]
+        if not keys_cat:
+            return out
+        keys = np.concatenate(keys_cat)
+        owner = np.concatenate(owner_cat)
+        offs = np.concatenate(offs_cat)
+        hits, _ = self.index.hits(keys, self.max_hits)      # [S, H]
+        valid = hits >= 0
+        ow = np.broadcast_to(owner[:, None], hits.shape)[valid]
+        dg = (hits - offs[:, None])[valid]
+        # ow is non-decreasing (concat order survives the row-major mask)
+        for vi in np.unique(ow):
+            lo, hi = np.searchsorted(ow, [vi, vi + 1])
+            out[int(vi)] = self._vote(dg[lo:hi])
         return out
 
     # -- scoring -----------------------------------------------------------
@@ -189,28 +229,31 @@ class ReadMapper:
         """Seed/locate/score all reads (and strands) in one dispatch →
         per-read candidate lists sorted by descending score."""
         q_list, t_list, owners, starts, strands = [], [], [], [], []
+        variants_all = []          # (read_idx, seq, rev)
         for ri, read in enumerate(reads):
-            variants = [(read, False)]
+            variants_all.append((ri, read, False))
             if both_strands:
-                variants.append((revcomp(read), True))
-            for seq, rev in variants:
-                rc = encode2(seq)
-                for diag in self._diagonals(rc):
-                    # clip the window to the owning contig — alignments
-                    # never straddle contigs
-                    ci, _ = self.contig_of(min(max(diag, 0),
-                                               len(self.reference) - 1))
-                    c_lo = int(self.contig_starts[ci])
-                    c_hi = int(self.contig_ends[ci])
-                    s = max(c_lo, diag - self.band)
-                    e = min(c_hi, diag + len(seq) + self.band)
-                    if e <= s:
-                        continue
-                    q_list.append(seq)
-                    t_list.append(self.reference[s:e])
-                    owners.append(ri)
-                    starts.append(s)
-                    strands.append(rev)
+                variants_all.append((ri, revcomp(read), True))
+        diag_lists = self._diagonals_all(
+            [encode2(seq) for _, seq, _ in variants_all]
+        )
+        for (ri, seq, rev), diags in zip(variants_all, diag_lists):
+            for diag in diags:
+                # clip the window to the owning contig — alignments
+                # never straddle contigs
+                ci, _ = self.contig_of(min(max(diag, 0),
+                                           len(self.reference) - 1))
+                c_lo = int(self.contig_starts[ci])
+                c_hi = int(self.contig_ends[ci])
+                s = max(c_lo, diag - self.band)
+                e = min(c_hi, diag + len(seq) + self.band)
+                if e <= s:
+                    continue
+                q_list.append(seq)
+                t_list.append(self.reference[s:e])
+                owners.append(ri)
+                starts.append(s)
+                strands.append(rev)
         results = self.engine.align(q_list, t_list) if q_list else []
         cands: list[list[_Candidate]] = [[] for _ in reads]
         for job, ri, s, rev in zip(results, owners, starts, strands):
