@@ -180,6 +180,182 @@ class FMIndex:
         lo, hi = self.backward_search(codes, np.array([codes.shape[1]]))
         return int(max(hi[0] - lo[0], 0))
 
+    def to_device(self):
+        """Pack into a DeviceFMIndex for jitted on-device search
+        (ops/fm_search — the nvbio fmindex_device.h analog)."""
+        from genomics_tpu.ops.fm_search import build_device_index
+
+        return build_device_index(self)
+
+    # -- inexact search (nvbio backtrack.h analog) -------------------------
+
+    def _occ1(self, s: int, i: int) -> int:
+        return int(self.rank(np.int64(s), np.int64(i)))
+
+    def inexact_search(self, pattern, max_mm: int = 1, max_results: int = 64):
+        """Backtracking approximate search: all SA ranges matching
+        `pattern` with up to max_mm substitutions (reference:
+        Non-CDP/NvB/nvbio/fmindex/backtrack.h — hamming_backtrack's
+        DFS over alternate symbols, stack of (range, position,
+        budget)).  Returns [(lo, hi, n_mismatch)], best (fewest
+        mismatches) first; ranges for distinct substitution patterns
+        are disjoint."""
+        codes = encode2(pattern) if isinstance(pattern, (str, bytes)) \
+            else np.asarray(pattern)
+        m = len(codes)
+        out = []
+        # DFS stack: (position to consume next(from the right), lo, hi, mm)
+        stack = [(m - 1, 0, self.n, 0)]
+        while stack and len(out) < max_results:
+            i, lo, hi, mm = stack.pop()
+            if i < 0:
+                out.append((lo, hi, mm))
+                continue
+            want = int(codes[i]) if codes[i] != 255 else -1
+            # try symbols: the true one free, others cost 1
+            for sym in range(4):
+                cost = 0 if sym == want else 1
+                if mm + cost > max_mm:
+                    continue
+                s = sym + 1
+                nlo = int(self.C[s]) + self._occ1(s, lo)
+                nhi = int(self.C[s]) + self._occ1(s, hi)
+                if nhi > nlo:
+                    stack.append((i - 1, nlo, nhi, mm + cost))
+        out.sort(key=lambda r: r[2])
+        return out
+
+
+class BidirFMIndex:
+    """Bidirectional FM-index (reference: Non-CDP/NvB/nvbio/fmindex/
+    bidir.h — extend_forward/extend_backward over a paired
+    forward/reverse index).
+
+    State is a bi-interval (k, kr, s): [k, k+s) is the SA range of W in
+    the FORWARD index, [kr, kr+s) the range of reverse(W) in the
+    REVERSE index.  extend_back prepends a char (backward search on the
+    forward index, reverse range maintained from the per-symbol
+    occurrence counts); extend_forward appends (same with roles
+    swapped).  Powers supermaximal-exact-match seeding (smems) —
+    bwa-mem's mem collection, which greedy find_mems cannot produce."""
+
+    def __init__(self, text: str | bytes):
+        if isinstance(text, bytes):
+            text = text.decode()
+        self.fwd = FMIndex(text)
+        self.rev = FMIndex(text[::-1])
+        self.n = self.fwd.n
+
+    def start(self):
+        return (0, 0, self.n)
+
+    def _cnts(self, fm: FMIndex, k: int, s: int):
+        """Occurrence counts of each BWT symbol (0=$ .. 4=T) inside
+        SA rows [k, k+s)."""
+        syms = np.arange(5, dtype=np.int64)
+        top = fm.rank(syms, np.full(5, k + s, np.int64))
+        bot = fm.rank(syms, np.full(5, k, np.int64))
+        return (top - bot).astype(np.int64)
+
+    def extend_back(self, state, c: int):
+        """W → cW.  c in 0..3.  Returns the new bi-interval (s may be
+        0 = no occurrence)."""
+        k, kr, s = state
+        cnt = self._cnts(self.fwd, k, s)
+        s2 = int(cnt[c + 1])
+        k2 = int(self.fwd.C[c + 1]) + int(
+            self.fwd.rank(np.int64(c + 1), np.int64(k)))
+        # reverse ranges of {aW} partition [kr, kr+s) ordered by the
+        # char FOLLOWING reverse(W) in reverse text = the prepended a:
+        # $ first, then A<C<G<T
+        kr2 = kr + int(cnt[0]) + int(cnt[1:c + 1].sum())
+        return (k2, kr2, s2)
+
+    def extend_forward(self, state, c: int):
+        """W → Wc (append), symmetric on the reverse index."""
+        k, kr, s = state
+        cnt = self._cnts(self.rev, kr, s)
+        s2 = int(cnt[c + 1])
+        kr2 = int(self.rev.C[c + 1]) + int(
+            self.rev.rank(np.int64(c + 1), np.int64(kr)))
+        k2 = k + int(cnt[0]) + int(cnt[1:c + 1].sum())
+        return (k2, kr2, s2)
+
+    def _mem1(self, codes, x: int, min_len: int):
+        """SMEMs covering position x (bwa-mem bwt_smem1 structure).
+        Returns (mems, next_x)."""
+        m = len(codes)
+        st = self.extend_forward(self.start(), int(codes[x]))
+        if st[2] == 0:
+            return [], x + 1
+        # forward: push the PREVIOUS interval whenever the range
+        # shrinks (it held the largest end for its size), plus the
+        # final one at end-of-query (bwa bwt_smem1a's forward loop)
+        fwd = []
+        end = x + 1
+        while end < m:
+            if codes[end] > 3:
+                fwd.append((end, st))
+                break
+            nst = self.extend_forward(st, int(codes[end]))
+            if nst[2] != st[2]:
+                fwd.append((end, st))
+                if nst[2] == 0:
+                    break
+            st = nst
+            end += 1
+        else:
+            fwd.append((end, st))
+        next_x = end
+        # backward: longest-end intervals first; when the longest
+        # still-alive interval dies at i, [i+1, its end) is
+        # supermaximal (skip starts already covered by a prior mem)
+        mems = []
+        prev = fwd[::-1]
+        i = x - 1
+        while prev:
+            c = int(codes[i]) if i >= 0 and codes[i] <= 3 else -1
+            curr = []
+            for e, s_ in prev:
+                ns = self.extend_back(s_, c) if c >= 0 else (0, 0, 0)
+                if ns[2] == 0:
+                    if not curr and (
+                        not mems or i + 1 < mems[-1][0]
+                    ) and (e - (i + 1)) >= min_len:
+                        mems.append((i + 1, e, s_[0], s_[0] + s_[2]))
+                elif not curr or ns[2] != curr[-1][1][2]:
+                    curr.append((e, ns))
+            if not curr:
+                break
+            prev = curr
+            i -= 1
+        return mems, next_x
+
+    def smems(self, query, min_len: int = 19):
+        """Supermaximal exact matches (bwa-mem's mem collection over
+        the bidirectional index — the seeding nvbio's bidir.h index
+        exists to power; greedy find_mems cannot produce these).
+        Returns [(q_start, q_end, sa_lo, sa_hi)] (forward-index
+        range), q_end exclusive, length >= min_len, sorted."""
+        codes = encode2(query) if isinstance(query, (str, bytes)) \
+            else np.asarray(query)
+        m = len(codes)
+        out = []
+        x = 0
+        while x < m:
+            if codes[x] > 3:
+                x += 1
+                continue
+            mems, x = self._mem1(codes, x, min_len)
+            out.extend(mems)
+        seen = set()
+        uniq = []
+        for t in sorted(out):
+            if (t[0], t[1]) not in seen:
+                seen.add((t[0], t[1]))
+                uniq.append(t)
+        return uniq
+
 
 def find_mems(fm: "FMIndex", query, min_len: int = 19):
     """Greedy maximal exact matches (nvmem-class seeding — reference:

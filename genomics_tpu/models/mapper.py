@@ -116,10 +116,17 @@ class ReadMapper:
         self.band = band
         self.mem_min_len = mem_min_len
         self.seeder = seeder
+        self.bidir = None
         if seeder == "fm":
             from genomics_tpu.index.fmindex import FMIndex
 
             self.fm = FMIndex(self.reference)
+            self.index = None
+        elif seeder == "smem":
+            from genomics_tpu.index.fmindex import BidirFMIndex
+
+            self.bidir = BidirFMIndex(self.reference)
+            self.fm = self.bidir.fwd
             self.index = None
         else:
             self.fm = None
@@ -141,6 +148,18 @@ class ReadMapper:
 
     def _seed_hits(self, read_codes: np.ndarray) -> list[tuple[int, int]]:
         """(read_offset, global ref position) seed pairs."""
+        if self.seeder == "smem":
+            # supermaximal exact matches via the bidirectional index
+            # (bidir.h / bwa-mem seeding)
+            out = []
+            for qs, _qe, lo, hi in self.bidir.smems(
+                read_codes, min_len=self.mem_min_len
+            ):
+                for p in self.fm.sa_values(
+                    np.arange(lo, min(hi, lo + self.max_hits))
+                ):
+                    out.append((qs, int(p)))
+            return out
         if self.seeder == "fm":
             from genomics_tpu.index.fmindex import seed_positions
 
@@ -193,7 +212,7 @@ class ReadMapper:
         nvBowtie's map_queries similarly seeds the whole batch in one
         kernel, mapping.cu), then per-variant diagonal voting on the
         grouped hit slices."""
-        if self.seeder == "fm":
+        if self.seeder != "qgram":
             return [self._diagonals(c) for c in codes_list]
         q = self.seed_len
         keys_cat, owner_cat, offs_cat = [], [], []

@@ -1,0 +1,128 @@
+"""FM-index depth (r3): device backward search, bidirectional index +
+SMEMs, backtracking inexact search — all against brute force or the
+host engine."""
+import numpy as np
+
+from genomics_tpu.index.fmindex import BidirFMIndex, FMIndex
+from genomics_tpu.index.qgram import encode2
+
+BASES = np.array(list("ACGT"))
+
+
+def _text(rng, n):
+    return "".join(BASES[rng.integers(0, 4, n)])
+
+
+def test_device_backward_search_matches_host():
+    from genomics_tpu.ops import fm_search
+
+    rng = np.random.default_rng(0)
+    text = _text(rng, 8000)
+    fm = FMIndex(text)
+    idx = fm.to_device()
+    B, L = 128, 32
+    qs = np.zeros((B, L), np.uint8)
+    qlen = rng.integers(4, L + 1, B)
+    for i in range(B):
+        if i % 2 == 0:
+            p = rng.integers(0, len(text) - qlen[i])
+            qs[i, :qlen[i]] = encode2(text[p:p + qlen[i]])
+        else:
+            qs[i, :qlen[i]] = rng.integers(0, 4, qlen[i])
+    lo_h, hi_h = fm.backward_search(
+        np.where(qs == 0, qs, qs), qlen)  # host takes same codes
+    lo_d, hi_d = fm_search.backward_search_device(idx, qs, qlen)
+    np.testing.assert_array_equal(lo_h, lo_d)
+    np.testing.assert_array_equal(hi_h, hi_d)
+
+
+def test_bidir_extension_matches_backward_search():
+    rng = np.random.default_rng(1)
+    text = _text(rng, 2000)
+    bd = BidirFMIndex(text)
+    for _ in range(30):
+        L = int(rng.integers(1, 16))
+        c = rng.integers(0, 4, L)
+        st = bd.start()
+        for ch in c[::-1]:
+            st = bd.extend_back(st, int(ch))
+        lo, hi = bd.fwd.backward_search(
+            c[None, :].astype(np.uint8), np.array([L]))
+        assert st[2] == max(int(hi[0] - lo[0]), 0)
+        if st[2] > 0:
+            assert st[0] == lo[0]
+        stf = bd.start()
+        for ch in c:
+            stf = bd.extend_forward(stf, int(ch))
+        assert (stf[0], stf[2]) == (st[0], st[2]) if st[2] else stf[2] == 0
+
+
+def _brute_smems(text, query, min_len):
+    m = len(query)
+    e = np.zeros(m, np.int64)
+    for x in range(m):
+        hi = x
+        while hi < m and query[x:hi + 1] in text:
+            hi += 1
+        e[x] = hi
+    out, seen = [], set()
+    for x in range(m):
+        if e[x] > x and e[x] - x >= min_len and e[x] not in seen:
+            if all(e[x2] < e[x] for x2 in range(x)):
+                out.append((x, int(e[x])))
+                seen.add(int(e[x]))
+    return sorted(out)
+
+
+def test_smems_match_brute_force():
+    rng = np.random.default_rng(2)
+    text = _text(rng, 3000)
+    bd = BidirFMIndex(text)
+    for _ in range(15):
+        parts = []
+        for _ in range(3):
+            p = rng.integers(0, len(text) - 30)
+            parts.append(text[p:p + rng.integers(10, 30)])
+            parts.append(_text(rng, rng.integers(2, 8)))
+        q = "".join(parts)
+        got = [(a, b) for a, b, _, _ in bd.smems(q, min_len=8)]
+        assert got == _brute_smems(text, q, 8)
+        for a, b, lo, hi in bd.smems(q, min_len=8):
+            for pos in bd.fwd.sa_values(np.arange(lo, hi)):
+                assert text[pos:pos + (b - a)] == q[a:b]
+
+
+def test_inexact_search_matches_brute_force():
+    rng = np.random.default_rng(3)
+    text = _text(rng, 3000)
+    fm = FMIndex(text)
+    for _ in range(15):
+        p = rng.integers(0, len(text) - 25)
+        q = list(text[p:p + 20])
+        for e_ in rng.choice(20, int(rng.integers(0, 3)), replace=False):
+            q[e_] = "ACGT"[rng.integers(0, 4)]
+        q = "".join(q)
+        got = set()
+        for lo, hi, _mm in fm.inexact_search(q, max_mm=2, max_results=1000):
+            for pos in fm.sa_values(np.arange(lo, hi)):
+                got.add(int(pos))
+        want = {
+            pos for pos in range(len(text) - 19)
+            if sum(a != b for a, b in zip(text[pos:pos + 20], q)) <= 2
+        }
+        assert got == want
+
+
+def test_mapper_smem_seeder():
+    from genomics_tpu.models.mapper import ReadMapper
+
+    rng = np.random.default_rng(4)
+    ref = _text(rng, 20000)
+    reads = []
+    for p in rng.integers(0, 19900, 30):
+        r = list(ref[p:p + 80])
+        r[40] = "ACGT"[rng.integers(0, 4)]
+        reads.append("".join(r))
+    m = ReadMapper(ref, seeder="smem")
+    out = m.map_batch(reads)
+    assert sum(1 for x in out if x.pos > 0) >= 28
