@@ -11,7 +11,8 @@ and aligned FASTA output (main.cu:90-140).
 TPU mapping: the reference runs one CUDA thread per pairwise DP with a
 CPU co-run split (SURVEY.md §2.5).  Here ALL pairwise DPs run in one
 batched device dispatch (rows scanned, x-chain as a prefix scan — the
-GAP_START<=0 decomposition), the M matrices stream back, and the
+GAP_START<=0 decomposition), a device-side batched backtrack returns
+only the gap-count arrays, and the
 (serial, tiny) backtracks run on the host exactly like the reference's
 own CPU gold path.
 """
@@ -137,6 +138,59 @@ def nw_matrices_batch(
     return jnp.concatenate([row0[:, None, :], Ms.transpose(1, 0, 2)], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("has_sub",))
+def backtrack_batch(Ms, cenc, seqs, slens, sub_table=None, has_sub=False):
+    """Device-side batched backtrack (the reference runs this on-device
+    too: cuda_backtrack_3d, CDP/STAR/cuda-nw.cu:219-249).  Walks each
+    pair's M matrix with nw.cc:96-150's diag-preferred, k-run
+    gap-matching order inside a vmapped while_loop and returns ONLY the
+    gap-count arrays (space [B, m+1], so [B, n_pad+1]) — the O(B·m·n)
+    matrices never leave the device (r2 shipped them to host)."""
+    B, m1, n1 = Ms.shape
+    m = m1 - 1
+    KMAX = max(m1, n1)
+    ks = jnp.arange(1, KMAX + 1, dtype=jnp.int32)
+    BIG = jnp.int32(1 << 30)
+
+    def one(M, seq, n):
+        def cond(st):
+            i, j, _, _ = st
+            return (i != 0) | (j != 0)
+
+        def body(st):
+            i, j, space, so = st
+            ci = cenc[jnp.maximum(i - 1, 0)].astype(jnp.int32)
+            sj = seq[jnp.maximum(j - 1, 0)].astype(jnp.int32)
+            if has_sub:
+                s = sub_table[ci, sj]
+            else:
+                s = jnp.where(ci == sj, MATCH, MISMATCH).astype(jnp.int32)
+            row = jax.lax.dynamic_index_in_dim(M, i, 0, keepdims=False)
+            col = jax.lax.dynamic_index_in_dim(M, j, 1, keepdims=False)
+            Mij = row[j]
+            diag = (i > 0) & (j > 0) & (s + M[jnp.maximum(i - 1, 0),
+                                              jnp.maximum(j - 1, 0)] == Mij)
+            run = GAP_START + GAP_EXTEND * ks
+            vert = (ks <= i) & (col[jnp.maximum(i - ks, 0)] + run == Mij)
+            kv = jnp.min(jnp.where(vert, ks, BIG))
+            horiz = (ks <= j) & (row[jnp.maximum(j - ks, 0)] + run == Mij)
+            kh = jnp.min(jnp.where(horiz, ks, BIG))
+            use_v = ~diag & (kv <= kh)
+            use_h = ~diag & (kv > kh)
+            so = so.at[j].add(jnp.where(use_v, kv, 0))
+            space = space.at[i].add(jnp.where(use_h, kh, 0))
+            i2 = jnp.where(diag, i - 1, jnp.where(use_v, i - kv, i))
+            j2 = jnp.where(diag, j - 1, jnp.where(use_h, j - kh, j))
+            return (i2, j2, space, so)
+
+        init = (jnp.int32(m), n.astype(jnp.int32),
+                jnp.zeros(m1, jnp.int32), jnp.zeros(n1, jnp.int32))
+        _, _, space, so = jax.lax.while_loop(cond, body, init)
+        return space, so
+
+    return jax.vmap(one)(Ms, seqs, jnp.asarray(slens, jnp.int32))
+
+
 def backtrack(M: np.ndarray, center: str, seq: str, sub_table=None):
     """nw.cc:96-150: diag-preferred walk with k-run gap matching.
     Returns (space [m+1], space_for_other [n+1]) gap counts."""
@@ -207,20 +261,19 @@ def msa(seqs: list[str], center_idx: int | None = None,
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         arr_d = jax.device_put(arr_d, NamedSharding(mesh, P("data")))
-    Ms = np.asarray(
-        nw_matrices_batch(
-            jnp.asarray(cenc),
-            arr_d,
-            None if sub_table is None else jnp.asarray(sub_table),
-        )
-    )[:n_rows]
-
-    space = np.zeros((len(others), m + 1), np.int64)
+    sub_d = None if sub_table is None else jnp.asarray(sub_table)
+    Ms_d = nw_matrices_batch(jnp.asarray(cenc), arr_d, sub_d)
+    # device-side backtrack: only the [B, m+1] / [B, n+1] gap counts
+    # come back to host, never the O(B·m·n) matrices
+    slens = np.array([len(s) for s in others] + [1] * pad_b, np.int32)
+    sp_d, so_d = backtrack_batch(
+        Ms_d, jnp.asarray(cenc), arr_d, jnp.asarray(slens),
+        sub_table=sub_d, has_sub=sub_table is not None,
+    )
+    space = np.asarray(sp_d, np.int64)[:n_rows]
+    so_pad = np.asarray(so_d, np.int64)[:n_rows]
     so = np.zeros((len(others), max_len + 1), np.int64)
-    for k, s in enumerate(others):
-        sp, sk = backtrack(Ms[k, :, : len(s) + 1], center, s, sub_table)
-        space[k] = sp
-        so[k, : len(s) + 1] = sk
+    so[:, : so_pad.shape[1]] = so_pad[:, : max_len + 1]
 
     # output merge (main.cu:90-140)
     space_center = space.max(axis=0) if len(others) else np.zeros(m + 1, np.int64)

@@ -107,3 +107,31 @@ def test_msa_sharded_matches_single():
     a1, c1 = M.msa(seqs)
     a2, c2 = M.msa(seqs, mesh=data_mesh(8))
     assert c1 == c2 and a1 == a2
+
+
+def test_device_backtrack_matches_host():
+    """backtrack_batch (device, gap counts only) == the host nw.cc walk
+    for every pair, DNA and protein scoring."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genomics_tpu.models import msa as M
+
+    rng = np.random.default_rng(11)
+    center = "".join(rng.choice(list("ACGT"), 40))
+    others = ["".join(rng.choice(list("ACGT"), rng.integers(10, 60)))
+              for _ in range(17)]
+    n_pad = max(len(s) for s in others)
+    arr = np.zeros((len(others), n_pad), np.uint8)
+    for k, s in enumerate(others):
+        arr[k, : len(s)] = np.frombuffer(s.encode(), np.uint8)
+    cenc = np.frombuffer(center.encode(), np.uint8)
+    Ms = M.nw_matrices_batch(jnp.asarray(cenc), jnp.asarray(arr), None)
+    slens = np.array([len(s) for s in others], np.int32)
+    sp_d, so_d = M.backtrack_batch(
+        Ms, jnp.asarray(cenc), jnp.asarray(arr), jnp.asarray(slens))
+    Ms_h = np.asarray(Ms)
+    for k, s in enumerate(others):
+        sp, so = M.backtrack(Ms_h[k, :, : len(s) + 1], center, s)
+        np.testing.assert_array_equal(np.asarray(sp_d)[k], sp)
+        np.testing.assert_array_equal(np.asarray(so_d)[k, : len(s) + 1], so)
