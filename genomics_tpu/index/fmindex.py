@@ -225,6 +225,49 @@ class FMIndex:
         out.sort(key=lambda r: r[2])
         return out
 
+    def hybrid_search(self, pattern, max_mm: int = 1, split: int | None = None,
+                      max_results: int = 64):
+        """nvBowtie's approx-hybrid seed mapping (mapping_impl.h:67-68):
+        0 mismatches in the subseed, up to max_mm in the rest.  The
+        subseed is the RIGHT half (consumed first by backward search) —
+        exact backward search narrows the range cheaply, then the
+        backtracking DFS spends the mismatch budget on the left part
+        only.  Returns [(lo, hi, n_mismatch)]."""
+        codes = encode2(pattern) if isinstance(pattern, (str, bytes)) \
+            else np.asarray(pattern)
+        m = len(codes)
+        if split is None:
+            split = m // 2
+        lo, hi = 0, self.n
+        for i in range(m - 1, split - 1, -1):
+            if codes[i] > 3:
+                return []
+            s = int(codes[i]) + 1
+            lo2 = int(self.C[s]) + self._occ1(s, lo)
+            hi2 = int(self.C[s]) + self._occ1(s, hi)
+            if hi2 <= lo2:
+                return []
+            lo, hi = lo2, hi2
+        out = []
+        stack = [(split - 1, lo, hi, 0)]
+        while stack and len(out) < max_results:
+            i, lo, hi, mm = stack.pop()
+            if i < 0:
+                out.append((lo, hi, mm))
+                continue
+            want = int(codes[i]) if codes[i] <= 3 else -1
+            for sym in range(4):
+                cost = 0 if sym == want else 1
+                if mm + cost > max_mm:
+                    continue
+                s = sym + 1
+                nlo = int(self.C[s]) + self._occ1(s, lo)
+                nhi = int(self.C[s]) + self._occ1(s, hi)
+                if nhi > nlo:
+                    stack.append((i - 1, nlo, nhi, mm + cost))
+        out.sort(key=lambda r: r[2])
+        return out
+
 
 class BidirFMIndex:
     """Bidirectional FM-index (reference: Non-CDP/NvB/nvbio/fmindex/

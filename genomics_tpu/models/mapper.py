@@ -117,7 +117,7 @@ class ReadMapper:
         self.mem_min_len = mem_min_len
         self.seeder = seeder
         self.bidir = None
-        if seeder == "fm":
+        if seeder in ("fm", "hybrid"):
             from genomics_tpu.index.fmindex import FMIndex
 
             self.fm = FMIndex(self.reference)
@@ -159,6 +159,21 @@ class ReadMapper:
                     np.arange(lo, min(hi, lo + self.max_hits))
                 ):
                     out.append((qs, int(p)))
+            return out
+        if self.seeder == "hybrid":
+            # nvBowtie approx-hybrid seeds (mapping_impl.h:67-68): fixed
+            # seed offsets, exact subseed + <=1 mismatch in the rest
+            out = []
+            L, q = len(read_codes), self.seed_len
+            for o in range(0, max(L - q, 0) + 1, self.seed_interval):
+                seed = read_codes[o:o + q]
+                if len(seed) < q or (seed > 3).any():
+                    continue
+                for lo, hi, _mm in self.fm.hybrid_search(seed, max_mm=1):
+                    for p in self.fm.sa_values(
+                        np.arange(lo, min(hi, lo + self.max_hits))
+                    ):
+                        out.append((o, int(p)))
             return out
         if self.seeder == "fm":
             from genomics_tpu.index.fmindex import seed_positions
@@ -242,12 +257,37 @@ class ReadMapper:
 
     # -- scoring -----------------------------------------------------------
 
+    def _ungapped_scores(self, q_list, t_list, diags_in_window):
+        """Stage-1 ungapped scores (nvBowtie's EditDistance scoring
+        stage, score.cu's best-approx pipeline runs cheap scoring
+        before the gapped DP): match/mismatch along each candidate's
+        seed diagonal, no gaps, vectorized over candidates."""
+        n = len(q_list)
+        out = np.zeros(n, np.int64)
+        mt, mm = self.params.match, self.params.mismatch
+        for i, (q, t, d) in enumerate(zip(q_list, t_list, diags_in_window)):
+            qc = encode2(q)
+            tc = encode2(t[d:d + len(q)])
+            L = min(len(qc), len(tc))
+            eq = qc[:L] == tc[:L]
+            out[i] = mt * int(eq.sum()) - mm * int(L - eq.sum())
+        return out
+
     def _score_candidates(
-        self, reads: list[str], both_strands: bool = True
+        self, reads: list[str], both_strands: bool = True,
+        two_stage: bool = False,
     ) -> list[list[_Candidate]]:
         """Seed/locate/score all reads (and strands) in one dispatch →
-        per-read candidate lists sorted by descending score."""
+        per-read candidate lists sorted by descending score.
+
+        two_stage=True inserts nvBowtie's cheap-then-expensive scoring
+        (score.cu best-approx pipeline): every candidate window gets an
+        ungapped diagonal score first and only the top max_candidates
+        windows per read run the gapped traceback DP (negative-scoring
+        windows are kept only when a read has nothing better — an
+        early-indel alignment can look bad ungapped)."""
         q_list, t_list, owners, starts, strands = [], [], [], [], []
+        windiags = []              # candidate diagonal offset in-window
         variants_all = []          # (read_idx, seq, rev)
         for ri, read in enumerate(reads):
             variants_all.append((ri, read, False))
@@ -273,6 +313,23 @@ class ReadMapper:
                 owners.append(ri)
                 starts.append(s)
                 strands.append(rev)
+                windiags.append(max(diag - s, 0))
+        if two_stage and q_list:
+            ug = self._ungapped_scores(q_list, t_list, windiags)
+            order = np.lexsort((np.arange(len(ug)), -ug))
+            keep_idx = []
+            per_read: dict[int, int] = {}
+            for i in order:
+                ri = owners[i]
+                if per_read.get(ri, 0) < self.max_candidates:
+                    per_read[ri] = per_read.get(ri, 0) + 1
+                    keep_idx.append(i)
+            keep_idx.sort()
+            q_list = [q_list[i] for i in keep_idx]
+            t_list = [t_list[i] for i in keep_idx]
+            owners = [owners[i] for i in keep_idx]
+            starts = [starts[i] for i in keep_idx]
+            strands = [strands[i] for i in keep_idx]
         results = self.engine.align(q_list, t_list) if q_list else []
         cands: list[list[_Candidate]] = [[] for _ in reads]
         for job, ri, s, rev in zip(results, owners, starts, strands):
@@ -329,11 +386,13 @@ class ReadMapper:
         reads: list[str],
         both_strands: bool = True,
         report: str | int = "best",
+        two_stage: bool = False,
     ) -> list:
         """report='best' → one Mapping per read (default); report='all'
         or an int N → list of Mappings per read, best-first (nvBowtie's
         all / best-N reporting, reduce.cu)."""
-        cands = self._score_candidates(reads, both_strands)
+        cands = self._score_candidates(reads, both_strands,
+                                       two_stage=two_stage)
         if report == "best":
             return [self._reduce(r, c) for r, c in zip(reads, cands)]
         out = []
@@ -353,6 +412,44 @@ class ReadMapper:
                 )
             out.append(row)
         return out
+
+    # -- streamed pipeline (input_thread / compute_thread analog) ----------
+
+    def map_stream(self, read_iter, batch_size: int = 4096,
+                   both_strands: bool = True, two_stage: bool = False):
+        """Overlap input parsing with alignment (reference: nvBowtie's
+        threaded pipeline — input_thread.cpp fills read batches while
+        compute_thread.cu drains them).  A background thread pulls and
+        batches `read_iter` while the current batch maps; yields
+        (read, Mapping) in input order."""
+        import queue as _q
+        import threading
+
+        stop = object()
+        ch: _q.Queue = _q.Queue(maxsize=2)   # double buffering
+
+        def producer():
+            batch = []
+            for r in read_iter:
+                batch.append(r)
+                if len(batch) >= batch_size:
+                    ch.put(batch)
+                    batch = []
+            if batch:
+                ch.put(batch)
+            ch.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            batch = ch.get()
+            if batch is stop:
+                break
+            maps = self.map_batch(batch, both_strands=both_strands,
+                                  two_stage=two_stage)
+            for r, mp in zip(batch, maps):
+                yield r, mp
+        t.join()
 
     # -- paired-end ----------------------------------------------------------
 

@@ -126,3 +126,66 @@ def test_mapper_smem_seeder():
     m = ReadMapper(ref, seeder="smem")
     out = m.map_batch(reads)
     assert sum(1 for x in out if x.pos > 0) >= 28
+
+
+def test_hybrid_search_semantics():
+    """approx-hybrid: exact right-half subseed, <=1 mismatch in the
+    left part — found positions must obey exactly that split."""
+    rng = np.random.default_rng(6)
+    text = _text(rng, 3000)
+    fm = FMIndex(text)
+    q = 16
+    for _ in range(20):
+        p = rng.integers(0, len(text) - q)
+        seed = list(text[p:p + q])
+        mmpos = int(rng.integers(0, q))
+        orig = seed[mmpos]
+        seed[mmpos] = "ACGT"[(("ACGT".index(orig)) + 1) % 4]
+        seed = "".join(seed)
+        got = set()
+        for lo, hi, _mm in fm.hybrid_search(seed, max_mm=1):
+            for pos in fm.sa_values(np.arange(lo, hi)):
+                got.add(int(pos))
+        want = set()
+        for pos in range(len(text) - q + 1):
+            w = text[pos:pos + q]
+            mm_left = sum(a != b for a, b in zip(w[:q // 2], seed[:q // 2]))
+            mm_right = sum(a != b for a, b in zip(w[q // 2:], seed[q // 2:]))
+            if mm_right == 0 and mm_left <= 1:
+                want.add(pos)
+        assert got == want
+
+
+def test_mapper_hybrid_seeder_and_two_stage():
+    from genomics_tpu.models.mapper import ReadMapper
+
+    rng = np.random.default_rng(7)
+    ref = _text(rng, 20000)
+    reads = []
+    for p in rng.integers(0, 19900, 25):
+        r = list(ref[p:p + 80])
+        r[10] = "ACGT"[rng.integers(0, 4)]   # a mismatch inside a seed
+        reads.append("".join(r))
+    m = ReadMapper(ref, seeder="hybrid")
+    out = m.map_batch(reads, two_stage=True)
+    assert sum(1 for x in out if x.pos > 0) >= 23
+    # two-stage must agree with single-stage on the winners here
+    m2 = ReadMapper(ref)
+    a = m2.map_batch(reads)
+    b = m2.map_batch(reads, two_stage=True)
+    assert [(x.pos, x.contig, x.reverse) for x in a] == \
+        [(x.pos, x.contig, x.reverse) for x in b]
+
+
+def test_mapper_map_stream_matches_batch():
+    from genomics_tpu.models.mapper import ReadMapper
+
+    rng = np.random.default_rng(8)
+    ref = _text(rng, 15000)
+    reads = ["".join(ref[p:p + 60]) for p in rng.integers(0, 14900, 40)]
+    m = ReadMapper(ref)
+    streamed = list(m.map_stream(iter(reads), batch_size=16))
+    batched = m.map_batch(reads)
+    assert [r for r, _ in streamed] == reads
+    assert [(mp.pos, mp.cigar_string) for _, mp in streamed] == \
+        [(mp.pos, mp.cigar_string) for mp in batched]
