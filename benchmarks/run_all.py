@@ -231,7 +231,7 @@ def bench_sharded_sw(L=152, chain=40):
     q = rng.integers(0, 4, (B, L)).astype(np.uint8) * 2 + 1
     t = rng.integers(0, 4, (B, L)).astype(np.uint8) * 2 + 1
     qd, td = pmesh.shard_batch(mesh, q, t)
-    step = pmesh._align_scores_fn(mesh, params, True)
+    step = pmesh._align_scores_fn(mesh, params, True, has_n=False)
 
     @jax.jit
     def chained(q, t):

@@ -706,106 +706,115 @@ def _local_kernel_intertask16(q_ref, t_ref, out_score, out_qend, out_tend,
 
 
 def _local_kernel_intertask_tb(q_ref, t_ref, out_score, out_qend, out_tend,
-                               tb_ref, hcol_ref, ecol_ref, mk_ref, *,
+                               tb_hbm, hcol_ref, ecol_ref, tbbuf, sem, *,
                                params, Lq, Lt):
-    """Traceback variant of the inter-task kernel: strips are a GRID
-    dimension (t streamed per strip, the tb output window
-    double-buffered by the Pallas pipeline), per-pair state persists in
-    scratch across grid steps.  Nibble semantics identical to the scan
-    kernel / get_tb.h; 8 target rows pack into one int32 per (strip,
-    query column) — the same [Lt/8, Lq] word layout the decoder reads."""
-    nstrips = Lt // 8
-    s = pl.program_id(1)
+    """Traceback variant of the inter-task kernel.  ONE grid dimension
+    (slot tiles); strips are an inner fori whose nibble block streams
+    to HBM via a manual async copy from a VMEM staging buffer — the r2
+    strips-as-a-grid-dimension design paid ~120us of pipeline overhead
+    per grid step (38 steps at B=4096/L=152) and capped the kernel at
+    ~17 GCUPS regardless of compute.  Nibble semantics identical to
+    the scan kernel / get_tb.h; 8 target rows pack into one int32 per
+    (strip, query column) — the word layout the decoder reads."""
+    b = pl.program_id(0)
     goe = jnp.int32(params.gap_oe)
     ge = jnp.int32(params.gap_extend)
-    S = out_score.shape[0]
+    S = tbbuf.shape[1]
     zero = _ij_zero(S)
-    nbig = zero + jnp.int32(NEG_BIG)
-
-    @pl.when(s == 0)
-    def _():
-        hcol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
-        ecol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
-        mk_ref[0] = zero
-        mk_ref[1] = zero + jnp.int32(jnp.iinfo(jnp.int32).max)
-
-    t_strip = t_ref[...]                     # [8, SUBS, 128] this strip
-    t_is_n = t_strip == N4
+    hcol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
+    ecol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
     UNROLL = 8 if Lq % 8 == 0 else (4 if Lq % 4 == 0 else 1)
 
-    def do_row(jj, Hprev, W, diag0, M, K):
-        q_j = q_ref[pl.ds(jj, 1), :, :][0]
-        q_is_n = q_j == N4
-        hcol_j = hcol_ref[pl.ds(jj, 1), :, :][0]
-        e_state = ecol_ref[pl.ds(jj, 1), :, :][0]
-        h_new = []
-        w_new = []
-        nibw = None
-        for c in range(8):
-            t_c = t_strip[c]
-            eq = q_j == t_c
-            sub = jnp.where(eq, jnp.int32(params.match),
-                            jnp.int32(-params.mismatch))
-            is_n = q_is_n | t_is_n[c]
-            if params.n_penalty is not None:
-                sub = jnp.where(is_n, jnp.int32(-params.n_penalty), sub)
-            else:
-                sub = jnp.where(is_n, jnp.int32(0), sub)
-            diag = diag0 if c == 0 else Hprev[c - 1]
-            tmp = diag + sub
-            u = W[c]
-            h = jnp.maximum(jnp.maximum(tmp, u),
-                            jnp.maximum(e_state, 0))
-            key = ((s * Lq + jj) * 8 + c)
-            take = h > M
-            M = jnp.where(take, h, M)
-            K = jnp.where(take, key, K)
-            tmpg = tmp - goe
-            # nibble (same semantics as the scan kernel / get_tb.h):
-            # u = query-direction chain (f), e_state = target-direction
-            # chain (e), both pre-update
-            m_or_x = jnp.where(sub >= 0, jnp.int32(0), jnp.int32(1))
-            d = jnp.where(h == tmp, m_or_x,
-                          jnp.where(h == u, jnp.int32(3), jnp.int32(2)))
-            f_ext = jnp.where(tmpg > (u - ge), jnp.int32(0), jnp.int32(1))
-            e_ext = jnp.where(tmpg > (e_state - ge), jnp.int32(0),
-                              jnp.int32(1))
-            nib = d | (e_ext << 2) | (f_ext << 3)
-            nibw = nib if c == 0 else (nibw | (nib << (4 * c)))
-            w_new.append(jnp.maximum(tmpg, u - ge))
-            e_state = jnp.maximum(tmpg, e_state - ge)
-            h_new.append(h)
-        hcol_ref[pl.ds(jj, 1), :, :] = h_new[7][None]
-        ecol_ref[pl.ds(jj, 1), :, :] = e_state[None]
-        tb_ref[0, pl.ds(jj, 1), :, :] = nibw[None]
-        return h_new, w_new, hcol_j, M, K
+    def strip(ib, carry):
+        M, K = carry
+        t_strip = t_ref[pl.ds(ib * 8, 8), :, :]
+        t_is_n = t_strip == N4
+        # single staging buffer: wait for the previous strip's DMA
+        # before overwriting (the copy is ~10x faster than the strip's
+        # compute, so the wait is a no-op in steady state)
+        @pl.when(ib > 0)
+        def _():
+            pltpu.make_async_copy(tbbuf, tbbuf, sem).wait()
 
-    def row(j, rc):
-        Hprev, W, diag0, M, K = rc
-        jj = j * UNROLL
-        for u_i in range(UNROLL):
-            Hprev, W, diag0, M, K = do_row(jj + u_i, Hprev, W, diag0, M, K)
-        return (Hprev, W, diag0, M, K)
+        def do_row(jj, Hprev, W, diag0, M, K):
+            q_j = q_ref[pl.ds(jj, 1), :, :][0]
+            q_is_n = q_j == N4
+            hcol_j = hcol_ref[pl.ds(jj, 1), :, :][0]
+            e_state = ecol_ref[pl.ds(jj, 1), :, :][0]
+            h_new = []
+            w_new = []
+            nibw = None
+            for c in range(8):
+                t_c = t_strip[c]
+                eq = q_j == t_c
+                sub = jnp.where(eq, jnp.int32(params.match),
+                                jnp.int32(-params.mismatch))
+                is_n = q_is_n | t_is_n[c]
+                if params.n_penalty is not None:
+                    sub = jnp.where(is_n, jnp.int32(-params.n_penalty), sub)
+                else:
+                    sub = jnp.where(is_n, jnp.int32(0), sub)
+                diag = diag0 if c == 0 else Hprev[c - 1]
+                tmp = diag + sub
+                u = W[c]
+                h = jnp.maximum(jnp.maximum(tmp, u),
+                                jnp.maximum(e_state, 0))
+                key = ((ib * Lq + jj) * 8 + c)
+                take = h > M
+                M = jnp.where(take, h, M)
+                K = jnp.where(take, key, K)
+                tmpg = tmp - goe
+                # nibble (same semantics as the scan kernel / get_tb.h):
+                # u = query-direction chain (f), e_state =
+                # target-direction chain (e), both pre-update
+                m_or_x = jnp.where(sub >= 0, jnp.int32(0), jnp.int32(1))
+                d = jnp.where(h == tmp, m_or_x,
+                              jnp.where(h == u, jnp.int32(3), jnp.int32(2)))
+                f_ext = jnp.where(tmpg > (u - ge), jnp.int32(0),
+                                  jnp.int32(1))
+                e_ext = jnp.where(tmpg > (e_state - ge), jnp.int32(0),
+                                  jnp.int32(1))
+                nib = d | (e_ext << 2) | (f_ext << 3)
+                nibw = nib if c == 0 else (nibw | (nib << (4 * c)))
+                w_new.append(jnp.maximum(tmpg, u - ge))
+                e_state = jnp.maximum(tmpg, e_state - ge)
+                h_new.append(h)
+            hcol_ref[pl.ds(jj, 1), :, :] = h_new[7][None]
+            ecol_ref[pl.ds(jj, 1), :, :] = e_state[None]
+            tbbuf[pl.ds(jj, 1), :, :] = nibw[None]
+            return h_new, w_new, hcol_j, M, K
 
-    # W (the f chain) seeds 0 — matching the scan kernel's fscan seed so
-    # the emitted nibbles are bit-identical (a NEG seed gives the same
-    # SCORES thanks to the 0-clamp, but different f_ext/d bits at the
-    # first query column)
-    init = ([zero] * 8, [zero] * 8, zero, mk_ref[0], mk_ref[1])
-    out = jax.lax.fori_loop(0, Lq // UNROLL, row, init)
-    M, K = out[3], out[4]
-    mk_ref[0] = M
-    mk_ref[1] = K
+        def row(j, rc):
+            Hprev, W, diag0, M, K = rc
+            jj = j * UNROLL
+            for u_i in range(UNROLL):
+                Hprev, W, diag0, M, K = do_row(jj + u_i, Hprev, W,
+                                               diag0, M, K)
+            return (Hprev, W, diag0, M, K)
 
-    @pl.when(s == nstrips - 1)
-    def _():
-        cell = K >> 3
-        qend = cell % Lq
-        tend = (cell // Lq) * 8 + (K & 7)
-        nz = M > 0
-        out_score[...] = M
-        out_qend[...] = jnp.where(nz, qend, 0)
-        out_tend[...] = jnp.where(nz, tend, 0)
+        # W (the f chain) seeds 0 — matching the scan kernel's fscan
+        # seed so the emitted nibbles are bit-identical (a NEG seed
+        # gives the same SCORES thanks to the 0-clamp, but different
+        # f_ext/d bits at the first query column)
+        init = ([zero] * 8, [zero] * 8, zero, M, K)
+        out = jax.lax.fori_loop(0, Lq // UNROLL, row, init)
+        pltpu.make_async_copy(
+            tbbuf, tb_hbm.at[ib], sem
+        ).start()
+        return (out[3], out[4])
+
+    M, K = jax.lax.fori_loop(
+        0, Lt // 8, strip,
+        (zero, zero + jnp.int32(jnp.iinfo(jnp.int32).max)),
+    )
+    pltpu.make_async_copy(tbbuf, tbbuf, sem).wait()
+    cell = K >> 3
+    qend = cell % Lq
+    tend = (cell // Lq) * 8 + (K & 7)
+    nz = M > 0
+    out_score[...] = M
+    out_qend[...] = jnp.where(nz, qend, 0)
+    out_tend[...] = jnp.where(nz, tend, 0)
 
 
 def _local_align_intertask_tb(q, t, params):
@@ -815,16 +824,22 @@ def _local_align_intertask_tb(q, t, params):
     subs = _subs_for(B)
     Q3 = q.T.astype(jnp.int32).reshape(Lq, nb, LANES)
     T3 = t.T.astype(jnp.int32).reshape(Lt, nb, LANES)
-    kernel = functools.partial(
-        _local_kernel_intertask_tb, params=params, Lq=Lq, Lt=Lt
-    )
+
+    def kernel(q_ref, t_ref, out_score, out_qend, out_tend, tb_hbm,
+               hcol_ref, ecol_ref, tbbuf, sem):
+        b = pl.program_id(0)
+        _local_kernel_intertask_tb(
+            q_ref, t_ref, out_score, out_qend, out_tend,
+            tb_hbm.at[:, :, pl.ds(b * subs, subs), :],
+            hcol_ref, ecol_ref, tbbuf, sem, params=params, Lq=Lq, Lt=Lt)
+
     res = pl.pallas_call(
         kernel,
-        grid=(B // (subs * LANES), Lt // 8),
+        grid=(B // (subs * LANES),),
         in_specs=[
-            pl.BlockSpec((Lq, subs, LANES), lambda b, s: (0, b, 0),
+            pl.BlockSpec((Lq, subs, LANES), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, subs, LANES), lambda b, s: (s, b, 0),
+            pl.BlockSpec((Lt, subs, LANES), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -834,19 +849,19 @@ def _local_align_intertask_tb(q, t, params):
             jax.ShapeDtypeStruct((Lt // 8, Lq, nb, LANES), jnp.int32),
         ],
         out_specs=[
-            pl.BlockSpec((subs, LANES), lambda b, s: (b, 0),
+            pl.BlockSpec((subs, LANES), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((subs, LANES), lambda b, s: (b, 0),
+            pl.BlockSpec((subs, LANES), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((subs, LANES), lambda b, s: (b, 0),
+            pl.BlockSpec((subs, LANES), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lq, subs, LANES), lambda b, s: (s, 0, b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((Lq, subs, LANES), jnp.int32),
             pltpu.VMEM((Lq, subs, LANES), jnp.int32),
-            pltpu.VMEM((2, subs, LANES), jnp.int32),
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),
     )(Q3, T3)
