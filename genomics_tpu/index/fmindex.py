@@ -212,8 +212,14 @@ class FMIndex:
                 out.append((lo, hi, mm))
                 continue
             want = int(codes[i]) if codes[i] != 255 else -1
-            # try symbols: the true one free, others cost 1
-            for sym in range(4):
+            # try symbols: the true one free, others cost 1.  Push the
+            # exact symbol LAST so it pops FIRST from the LIFO stack —
+            # otherwise, when max_results truncates the DFS, 0-mismatch
+            # ranges could be dropped while 1-2 mismatch ranges survive,
+            # breaking the "fewest mismatches first" contract.
+            order = [s for s in range(4) if s != want] + \
+                ([want] if 0 <= want < 4 else [])
+            for sym in order:
                 cost = 0 if sym == want else 1
                 if mm + cost > max_mm:
                     continue

@@ -69,6 +69,17 @@ class _Candidate:
     ref_span: int
 
 
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[3,0,2] → [0,1,2,0,1] (per-group arange, vectorized)."""
+    counts = np.asarray(counts, np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    idx = np.arange(total, dtype=np.int64)
+    return idx - np.repeat(ends - counts, counts)
+
+
 def _cigar_ref_span(cigar: str) -> int:
     """Reference bases consumed by a byte-CIGAR string (M/X/D advance)."""
     span, num = 0, 0
@@ -109,6 +120,9 @@ class ReadMapper:
         )
         self.reference = "".join(self.contig_seqs)
         self.ref_codes = encode2(self.reference)
+        from genomics_tpu.core.encoding import encode4
+
+        self.ref_codes4 = encode4(self.reference)
         self.seed_len = seed_len
         self.seed_interval = seed_interval
         self.max_hits = max_hits_per_seed
@@ -117,11 +131,12 @@ class ReadMapper:
         self.mem_min_len = mem_min_len
         self.seeder = seeder
         self.bidir = None
-        if seeder in ("fm", "hybrid"):
+        if seeder in ("fm", "hybrid", "fmdev"):
             from genomics_tpu.index.fmindex import FMIndex
 
             self.fm = FMIndex(self.reference)
             self.index = None
+            self._dev_fm = None         # built lazily for seeder="fmdev"
         elif seeder == "smem":
             from genomics_tpu.index.fmindex import BidirFMIndex
 
@@ -214,6 +229,42 @@ class ReadMapper:
             out.append(int(np.median(members)))
         return out
 
+    def _vote_all(self, ow: np.ndarray, dg: np.ndarray,
+                  n_variants: int) -> list[list[int]]:
+        """Vectorized _vote over every variant at once: one lexsort
+        groups (owner, band-bin) pairs, group medians come from index
+        arithmetic on the sorted diagonals — no per-read Python
+        (nvBowtie's select/locate stages are similarly batch-wide,
+        mapping.cu).  Semantics identical to per-variant _vote."""
+        out: list[list[int]] = [[] for _ in range(n_variants)]
+        if not len(dg):
+            return out
+        band = max(self.band, 1)
+        bins = dg // band
+        order = np.lexsort((dg, bins, ow))
+        ow, bins, dg = ow[order], bins[order], dg[order]
+        newgrp = np.concatenate(
+            [[True], (ow[1:] != ow[:-1]) | (bins[1:] != bins[:-1])])
+        grp = np.flatnonzero(newgrp)
+        counts = np.diff(np.append(grp, len(ow)))
+        gow = ow[grp]
+        gbin = bins[grp]
+        # rank groups per owner by (-count, bin): ties keep the lower
+        # bin, matching _vote's stable argsort over bin-sorted uniques
+        sel_order = np.lexsort((gbin, -counts, gow))
+        sow = gow[sel_order]
+        rank = np.arange(len(sow)) - np.searchsorted(sow, sow, "left")
+        sel = sel_order[rank < self.max_candidates]
+        n = counts[sel]
+        start = grp[sel]
+        # np.median of each sorted group, then int() truncation-toward-0
+        med = (dg[start + (n - 1) // 2] + dg[start + n // 2]) / 2.0
+        med = np.trunc(med).astype(np.int64)
+        keep_ow = gow[sel]
+        for v, m in zip(keep_ow, med):
+            out[int(v)].append(int(m))
+        return out
+
     def _diagonals(self, read_codes: np.ndarray) -> list[int]:
         """Seed + vote → candidate window start diagonals (global)."""
         pairs = self._seed_hits(read_codes)
@@ -221,39 +272,81 @@ class ReadMapper:
             return []
         return self._vote(np.array([p - o for o, p in pairs]))
 
+    def _seed_batch(self, codes_list: list[np.ndarray]):
+        """All (variant, seed_offset, key) triples, vectorized across
+        variants grouped by length."""
+        q = self.seed_len
+        lens = np.array([len(c) for c in codes_list], np.int64)
+        keys_cat, owner_cat, offs_cat = [], [], []
+        shifts = 2 * np.arange(q - 1, -1, -1, dtype=np.int64)
+        for L in np.unique(lens):
+            if L < q:
+                continue
+            vids = np.flatnonzero(lens == L)
+            mat = np.stack([codes_list[v] for v in vids])      # [V, L]
+            offs = np.arange(0, L - q + 1, self.seed_interval)
+            win = np.lib.stride_tricks.sliding_window_view(
+                mat, q, axis=1)[:, offs]                       # [V, O, q]
+            keys = (win.astype(np.int64) << shifts).sum(axis=2)
+            keys = np.where((win == 255).any(axis=2),
+                            np.int64(1) << (2 * q), keys)
+            keys_cat.append(keys.ravel())
+            owner_cat.append(np.repeat(vids, len(offs)))
+            offs_cat.append(np.tile(offs, len(vids)))
+        if not keys_cat:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        return (np.concatenate(keys_cat), np.concatenate(owner_cat),
+                np.concatenate(offs_cat))
+
     def _diagonals_all(self, codes_list: list[np.ndarray]) -> list[list[int]]:
         """Batched seeding: ONE index lookup for every seed of every
         read/strand variant (replaces the per-read hits() calls —
         nvBowtie's map_queries similarly seeds the whole batch in one
-        kernel, mapping.cu), then per-variant diagonal voting on the
-        grouped hit slices."""
-        if self.seeder != "qgram":
+        kernel, mapping.cu), then vectorized diagonal voting.
+
+        seeder="qgram": one batched q-gram table lookup.
+        seeder="fmdev": the nvBowtie device-side seeding analog
+        (mapping.cu:67-101) — every fixed-interval seed of every variant
+        goes through ONE jitted FM backward-search scan on device
+        (ops/fm_search), SA ranges resolve to positions host-side."""
+        if self.seeder not in ("qgram", "fmdev"):
             return [self._diagonals(c) for c in codes_list]
-        q = self.seed_len
-        keys_cat, owner_cat, offs_cat = [], [], []
-        for vi, rc in enumerate(codes_list):
-            L = len(rc)
-            if L < q:
-                continue
-            offs = np.arange(0, L - q + 1, self.seed_interval)
-            keys_cat.append(qgrams_of(rc, q)[offs])
-            owner_cat.append(np.full(len(offs), vi, np.int64))
-            offs_cat.append(offs)
+        keys, owner, offs = self._seed_batch(codes_list)
         out: list[list[int]] = [[] for _ in codes_list]
-        if not keys_cat:
+        if not len(keys):
             return out
-        keys = np.concatenate(keys_cat)
-        owner = np.concatenate(owner_cat)
-        offs = np.concatenate(offs_cat)
-        hits, _ = self.index.hits(keys, self.max_hits)      # [S, H]
-        valid = hits >= 0
-        ow = np.broadcast_to(owner[:, None], hits.shape)[valid]
-        dg = (hits - offs[:, None])[valid]
-        # ow is non-decreasing (concat order survives the row-major mask)
-        for vi in np.unique(ow):
-            lo, hi = np.searchsorted(ow, [vi, vi + 1])
-            out[int(vi)] = self._vote(dg[lo:hi])
-        return out
+        if self.seeder == "qgram":
+            hits, _ = self.index.hits(keys, self.max_hits)      # [S, H]
+            valid = hits >= 0
+            ow = np.broadcast_to(owner[:, None], hits.shape)[valid]
+            dg = (hits - offs[:, None])[valid]
+        else:
+            ow, dg = self._fmdev_hits(keys, owner, offs)
+        return self._vote_all(ow, dg, len(codes_list))
+
+    def _fmdev_hits(self, keys: np.ndarray, owner: np.ndarray,
+                    offs: np.ndarray):
+        """Exact device backward search for all seeds at once: keys are
+        the q-gram integers (the seed's 2-bit codes), re-expanded to
+        [S, q] symbol arrays for the batched scan."""
+        from genomics_tpu.ops.fm_search import backward_search_device
+
+        if self._dev_fm is None:
+            self._dev_fm = self.fm.to_device()
+        q = self.seed_len
+        valid_key = keys < (np.int64(1) << (2 * q))
+        keys_v = keys[valid_key]
+        shifts = 2 * np.arange(q - 1, -1, -1, dtype=np.int64)
+        syms = ((keys_v[:, None] >> shifts) & 3).astype(np.int32)  # [S, q]
+        qlen = np.full(len(keys_v), q, np.int32)
+        lo, hi = backward_search_device(self._dev_fm, syms, qlen)
+        take = np.minimum(hi - lo, self.max_hits)
+        rows = np.repeat(lo, take) + _ragged_arange(take)
+        pos = self.fm.sa_values(rows)
+        ow = np.repeat(owner[valid_key], take)
+        dg = pos - np.repeat(offs[valid_key], take)
+        return ow, dg
 
     # -- scoring -----------------------------------------------------------
 
@@ -266,8 +359,9 @@ class ReadMapper:
         out = np.zeros(n, np.int64)
         mt, mm = self.params.match, self.params.mismatch
         for i, (q, t, d) in enumerate(zip(q_list, t_list, diags_in_window)):
-            qc = encode2(q)
-            tc = encode2(t[d:d + len(q)])
+            qc = q if isinstance(q, np.ndarray) else encode2(q)
+            tw = t[d:d + len(qc)]
+            tc = tw if isinstance(tw, np.ndarray) else encode2(tw)
             L = min(len(qc), len(tc))
             eq = qc[:L] == tc[:L]
             out[i] = mt * int(eq.sum()) - mm * int(L - eq.sum())
@@ -286,34 +380,45 @@ class ReadMapper:
         windows per read run the gapped traceback DP (negative-scoring
         windows are kept only when a read has nothing better — an
         early-indel alignment can look bad ungapped)."""
-        q_list, t_list, owners, starts, strands = [], [], [], [], []
-        windiags = []              # candidate diagonal offset in-window
         variants_all = []          # (read_idx, seq, rev)
         for ri, read in enumerate(reads):
             variants_all.append((ri, read, False))
             if both_strands:
                 variants_all.append((ri, revcomp(read), True))
-        diag_lists = self._diagonals_all(
-            [encode2(seq) for _, seq, _ in variants_all]
-        )
-        for (ri, seq, rev), diags in zip(variants_all, diag_lists):
-            for diag in diags:
-                # clip the window to the owning contig — alignments
-                # never straddle contigs
-                ci, _ = self.contig_of(min(max(diag, 0),
-                                           len(self.reference) - 1))
-                c_lo = int(self.contig_starts[ci])
-                c_hi = int(self.contig_ends[ci])
-                s = max(c_lo, diag - self.band)
-                e = min(c_hi, diag + len(seq) + self.band)
-                if e <= s:
-                    continue
-                q_list.append(seq)
-                t_list.append(self.reference[s:e])
-                owners.append(ri)
-                starts.append(s)
-                strands.append(rev)
-                windiags.append(max(diag - s, 0))
+        from genomics_tpu.core.encoding import encode4
+
+        codes2_list = [encode2(seq) for _, seq, _ in variants_all]
+        codes4_list = [encode4(seq) for _, seq, _ in variants_all]
+        diag_lists = self._diagonals_all(codes2_list)
+        # flatten candidates and clip windows to the owning contig,
+        # all vectorized (alignments never straddle contigs)
+        n_per = np.array([len(d) for d in diag_lists], np.int64)
+        vi = np.repeat(np.arange(len(variants_all)), n_per)
+        diag = np.array(
+            [d for lst in diag_lists for d in lst], np.int64)
+        vlen = np.array([len(c) for c in codes4_list], np.int64)
+        if len(diag):
+            ci = np.searchsorted(
+                self.contig_starts,
+                np.clip(diag, 0, len(self.reference) - 1), "right") - 1
+            c_lo = self.contig_starts[ci]
+            c_hi = self.contig_ends[ci]
+            s_arr = np.maximum(c_lo, diag - self.band)
+            e_arr = np.minimum(c_hi, diag + vlen[vi] + self.band)
+            keep = e_arr > s_arr
+            vi, diag = vi[keep], diag[keep]
+            s_arr, e_arr = s_arr[keep], e_arr[keep]
+        else:
+            s_arr = e_arr = diag
+        ri_arr = np.array([v[0] for v in variants_all], np.int64)
+        rev_arr = np.array([v[2] for v in variants_all], bool)
+        q_list = [codes4_list[v] for v in vi]
+        t_list = [self.ref_codes4[s:e] for s, e in zip(s_arr, e_arr)]
+        owners = ri_arr[vi].tolist() if len(vi) else []
+        starts = s_arr.tolist()
+        strands = rev_arr[vi].tolist() if len(vi) else []
+        windiags = np.maximum(diag - s_arr, 0).tolist()
+        cand_vi = vi.tolist()
         if two_stage and q_list:
             ug = self._ungapped_scores(q_list, t_list, windiags)
             order = np.lexsort((np.arange(len(ug)), -ug))

