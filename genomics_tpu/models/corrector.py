@@ -625,13 +625,62 @@ class LighterCorrector:
         fixed = "".join("ACGTN"[int(c)] for c in out)
         return fixed, corrections
 
-    def correct_batch(self, reads: list[str], quals=None):
-        """Batched pass 3: the solid-kmer marking (the only densely
-        data-parallel part — error_correct.cu:95-107 runs it
-        device-parallel per read) is ONE Bloom query over every k-mer
-        of every read; the data-dependent fix walks then run per read
-        on scalar-int Bloom probes."""
+    def _correct_batch_native(self, reads: list[str], quals=None):
+        from genomics_tpu.runtime import native
+
+        if not native.available():
+            return None
+        K = self.k
+        n = len(reads)
+        L = max(len(r) for r in reads)
+        if L > 4096:
+            return None
+        mat = np.full((n, L), 4, np.uint8)
+        lens = np.zeros(n, np.int32)
+        for i, r in enumerate(reads):
+            c = encode2(r)
+            mat[i, : len(c)] = np.where(c == 255, 4, c)
+            lens[i] = len(c)
+        qmat = None
+        if quals is not None:
+            qmat = np.full((n, L), 40, np.uint8)
+            for i, q in enumerate(quals):
+                qmat[i, : len(q)] = np.asarray(q, np.uint8)
+        res = native.lighter_pass3(
+            mat, lens, self.trusted.words, self.trusted.n_bits,
+            self.trusted.k, K, self.max_correction, self.bad_quality,
+            quals=qmat,
+        )
+        if res is None:
+            return None
+        out_codes, ncorr = res
+        lut = np.frombuffer(b"ACGTN", np.uint8)
+        out = []
+        for i, r in enumerate(reads):
+            nc = int(ncorr[i])
+            if nc <= 0:
+                out.append((r, nc))
+            else:
+                s = bytes(lut[out_codes[i, : lens[i]]]).decode()
+                out.append((s, nc))
+        return out
+
+    def correct_batch(self, reads: list[str], quals=None,
+                      use_native: bool = True):
+        """Batched pass 3.  Fast path: the whole walk runs in the
+        native runtime (native/lighter.cpp, OpenMP across reads — a 1:1
+        transcription of this file's Python walk, itself the
+        error_correct.cu transcription).  The walk is a branch-divergent
+        scalar state machine — the reference runs it thread-per-read on
+        the GPU (error_correct.cu:85-716); on TPU the equivalent
+        "independent scalar programs" resource is host cores, so the
+        batch parallelizes there while the chip runs DP kernels.  The
+        Python path below is the parity oracle and fallback."""
         assert self.trusted is not None, "call build() first"
+        if use_native and len(reads):
+            out = self._correct_batch_native(reads, quals)
+            if out is not None:
+                return out
         self._probe_cache = {}
         K = self.k
         enc = []

@@ -27,7 +27,7 @@ def _load():
         _tried = True
         try:
             srcs = [os.path.join(_NATIVE_DIR, f)
-                    for f in ("cigar.cpp", "sais.cpp")]
+                    for f in ("cigar.cpp", "sais.cpp", "lighter.cpp")]
             if not os.path.exists(_SO_PATH) or any(
                 os.path.getmtime(_SO_PATH) < os.path.getmtime(f) for f in srcs
             ):
@@ -64,6 +64,19 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.gt_bwt_from_sa.restype = ctypes.c_int
+            lib.gt_lighter_pass3.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # codes [N, L]
+                ctypes.POINTER(ctypes.c_int32),   # lens
+                ctypes.c_int, ctypes.c_int,       # n_reads, max_len
+                ctypes.c_void_p,                  # quals or NULL
+                ctypes.POINTER(ctypes.c_uint32),  # bloom words
+                ctypes.c_uint64, ctypes.c_int,    # n_bits, bloom_k
+                ctypes.c_int, ctypes.c_double,    # K, max_correction
+                ctypes.c_int,                     # bad_quality
+                ctypes.POINTER(ctypes.c_uint8),   # out codes
+                ctypes.POINTER(ctypes.c_int32),   # out n_corrections
+            ]
+            lib.gt_lighter_pass3.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -150,6 +163,37 @@ def decode_tb_batch(
         qstart[b] = d["query_start"]
         tstart[b] = d["target_start"]
     return cigars, n_ops, qstart, tstart
+
+
+def lighter_pass3(codes: np.ndarray, lens: np.ndarray,
+                  bloom_words: np.ndarray, n_bits: int, bloom_k: int,
+                  K: int, max_correction: float, bad_quality: int,
+                  quals: np.ndarray | None = None):
+    """Batched Lighter pass-3 walk (native/lighter.cpp — OpenMP across
+    reads).  codes: [N, L] 2-bit with 4 = N.  Returns (out_codes,
+    n_corrections) or None when the native library is unavailable or
+    the read length exceeds the native stack buffers."""
+    lib = _load()
+    if lib is None or codes.shape[1] > 4096:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lens = np.ascontiguousarray(lens, np.int32)
+    bloom_words = np.ascontiguousarray(bloom_words, np.uint32)
+    n, L = codes.shape
+    out = np.empty_like(codes)
+    ncorr = np.empty(n, np.int32)
+    qp = None
+    if quals is not None:
+        quals = np.ascontiguousarray(quals, np.uint8)
+        qp = quals.ctypes.data_as(ctypes.c_void_p)
+    lib.gt_lighter_pass3(
+        _ptr(codes, ctypes.c_uint8), _ptr(lens, ctypes.c_int32), n, L,
+        qp, _ptr(bloom_words, ctypes.c_uint32),
+        ctypes.c_uint64(n_bits), bloom_k, K,
+        ctypes.c_double(max_correction), bad_quality,
+        _ptr(out, ctypes.c_uint8), _ptr(ncorr, ctypes.c_int32),
+    )
+    return out, ncorr
 
 
 def sais_u8(text: np.ndarray) -> np.ndarray | None:

@@ -95,3 +95,32 @@ def test_lighter_unreliable_read():
     alien = "".join(rng.choice(list("ACGT"), 80))
     f, c = corr.correct(alien)
     assert c == -1 and f == alien
+
+
+def test_lighter_native_parity():
+    from genomics_tpu.models.corrector import LighterCorrector
+
+    """native/lighter.cpp pass-3 walk is a 1:1 transcription of the
+    Python walk — results must be identical on a mixed batch."""
+    from genomics_tpu.runtime import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    genome = "".join(rng.choice(list("ACGT"), 6000))
+    L = 90
+    reads = []
+    for _ in range(400):
+        p = rng.integers(0, len(genome) - L)
+        r = list(genome[p : p + L])
+        for q in rng.choice(L, size=rng.integers(0, 4), replace=False):
+            r[q] = rng.choice([c for c in "ACGTN" if c != r[q]])
+        reads.append("".join(r))
+    corr = LighterCorrector(k=17, genome_size=len(genome),
+                            bloom_bits=1 << 20, seed=3)
+    corr.build(reads)
+    a = corr.correct_batch(reads, use_native=True)
+    b = corr.correct_batch(reads, use_native=False)
+    assert a == b
