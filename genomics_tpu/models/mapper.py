@@ -558,51 +558,143 @@ class ReadMapper:
 
     # -- paired-end ----------------------------------------------------------
 
+    @staticmethod
+    def _pair_eval(c1, c2, min_insert, max_insert):
+        """FR concordance over the candidate×candidate matrix →
+        (best_pair | None, best_sum, second_sum), vectorized."""
+        if not (c1 and c2):
+            return None, 0, 0
+        pos1 = np.array([c.pos for c in c1])
+        rev1 = np.array([c.reverse for c in c1])
+        span1 = np.array([c.ref_span for c in c1])
+        sc1 = np.array([c.score for c in c1])
+        pos2 = np.array([c.pos for c in c2])
+        rev2 = np.array([c.reverse for c in c2])
+        span2 = np.array([c.ref_span for c in c2])
+        sc2 = np.array([c.score for c in c2])
+        # FR: opposite strands; fragment = reverse-mate end -
+        # forward-mate start, within the insert window
+        opp = rev1[:, None] != rev2[None, :]
+        fwd_pos = np.where(rev1[:, None], pos2[None, :], pos1[:, None])
+        rev_end = np.where(
+            rev1[:, None],
+            pos1[:, None] + span1[:, None],
+            pos2[None, :] + span2[None, :],
+        )
+        frag = rev_end - fwd_pos
+        ok = opp & (frag >= max(min_insert, 1)) & (frag <= max_insert)
+        sums = np.where(ok, sc1[:, None] + sc2[None, :], 0)
+        if sums.max() <= 0:
+            return None, 0, 0
+        a_i, b_i = np.unravel_index(np.argmax(sums), sums.shape)
+        best_sum = int(sums[a_i, b_i])
+        best_pair = (c1[a_i], c2[b_i])
+        sums[a_i, b_i] = 0
+        return best_pair, best_sum, int(sums.max())
+
+    def _rescue_candidates(self, cands_all, reads1, reads2, min_insert,
+                           max_insert, discordant):
+        """nvBowtie opposite-mate rescue (reference: the opposite
+        alignment machinery in CDP/NvB/nvBowtie/bowtie2/cuda/score.cu —
+        when one mate anchors, score the OTHER mate inside the insert
+        window implied by the anchor instead of requiring its own
+        seeds).  All rescue windows across the batch go through ONE
+        batched dispatch; hits become ordinary candidates and pairing
+        re-evaluates."""
+        n = len(reads1)
+        jobs = []      # (pair_idx, which_mate, w_lo, w_hi, rev, q_codes)
+        from genomics_tpu.core.encoding import encode4
+
+        for i in discordant:
+            for which, (anch_list, other_read) in enumerate(
+                ((cands_all[i], reads2[i]), (cands_all[n + i], reads1[i]))
+            ):
+                if not anch_list:
+                    continue
+                a = anch_list[0]
+                # FR geometry: a forward anchor implies the mate maps
+                # reverse downstream; a reverse anchor implies the mate
+                # maps forward upstream
+                if not a.reverse:
+                    w_lo = a.pos
+                    w_hi = a.pos + max_insert
+                    seq = revcomp(other_read)
+                    rev = True
+                else:
+                    w_hi = a.pos + a.ref_span
+                    w_lo = w_hi - max_insert
+                    seq = other_read
+                    rev = False
+                ci, _ = self.contig_of(min(max(a.pos, 0),
+                                           len(self.reference) - 1))
+                w_lo = max(w_lo, int(self.contig_starts[ci]))
+                w_hi = min(w_hi, int(self.contig_ends[ci]))
+                if w_hi - w_lo < len(other_read) // 2:
+                    continue
+                jobs.append((i, which, w_lo, w_hi, rev, encode4(seq)))
+        if not jobs:
+            return
+        q_list = [j[5] for j in jobs]
+        t_list = [self.ref_codes4[j[2]:j[3]] for j in jobs]
+        results = self.engine.align(q_list, t_list)
+        for (i, which, w_lo, _w_hi, rev, qc), job in zip(jobs, results):
+            # score gate (nvBowtie applies its min-score function to
+            # opposite alignments too): a bare local max in a ~insert
+            # window is almost always positive, so accept only hits
+            # recovering at least half the perfect score
+            if job.score < max(30, self.params.match * len(qc) // 2):
+                continue
+            cig = job.cigar_string
+            cand = _Candidate(
+                pos=w_lo + job.target_start,
+                score=job.score,
+                cigar=cig,
+                reverse=rev,
+                ref_span=_cigar_ref_span(cig),
+            )
+            # the rescued candidate belongs to the OPPOSITE mate
+            tgt = (len(reads1) + i) if which == 0 else i
+            cands_all[tgt].append(cand)
+            cands_all[tgt].sort(key=lambda c: (-c.score, c.pos))
+
     def map_pairs(
         self,
         reads1: list[str],
         reads2: list[str],
         min_insert: int = 0,
         max_insert: int = 500,
+        rescue: bool = True,
     ) -> list[tuple[Mapping, Mapping]]:
         """Paired-end mapping, bowtie2 default FR orientation: the
         upstream mate maps forward, the downstream mate reverse, with
         fragment length (outer distance) in [min_insert, max_insert].
-        The candidate×candidate evaluation is vectorized (numpy)."""
+        The candidate×candidate evaluation is vectorized (numpy).
+
+        rescue=True scores the opposite mate's insert window when one
+        mate anchors but no concordant pair exists (nvBowtie's
+        opposite-mate machinery, score.cu), in one extra batched
+        dispatch for the whole batch."""
         assert len(reads1) == len(reads2)
         n = len(reads1)
         cands_all = self._score_candidates(list(reads1) + list(reads2))
+        evals = [
+            self._pair_eval(cands_all[i], cands_all[n + i], min_insert,
+                            max_insert)
+            for i in range(n)
+        ]
+        if rescue:
+            discordant = [i for i in range(n) if evals[i][0] is None]
+            if discordant:
+                self._rescue_candidates(cands_all, reads1, reads2,
+                                        min_insert, max_insert, discordant)
+                for i in discordant:
+                    evals[i] = self._pair_eval(
+                        cands_all[i], cands_all[n + i], min_insert,
+                        max_insert)
         out: list[tuple[Mapping, Mapping]] = []
         for i in range(n):
             c1, c2 = cands_all[i], cands_all[n + i]
-            best_pair, best_sum, second_sum = None, 0, 0
-            if c1 and c2:
-                pos1 = np.array([c.pos for c in c1])
-                rev1 = np.array([c.reverse for c in c1])
-                span1 = np.array([c.ref_span for c in c1])
-                sc1 = np.array([c.score for c in c1])
-                pos2 = np.array([c.pos for c in c2])
-                rev2 = np.array([c.reverse for c in c2])
-                span2 = np.array([c.ref_span for c in c2])
-                sc2 = np.array([c.score for c in c2])
-                # FR: opposite strands; fragment = reverse-mate end -
-                # forward-mate start, within the insert window
-                opp = rev1[:, None] != rev2[None, :]
-                fwd_pos = np.where(rev1[:, None], pos2[None, :], pos1[:, None])
-                rev_end = np.where(
-                    rev1[:, None],
-                    pos1[:, None] + span1[:, None],
-                    pos2[None, :] + span2[None, :],
-                )
-                frag = rev_end - fwd_pos
-                ok = opp & (frag >= max(min_insert, 1)) & (frag <= max_insert)
-                sums = np.where(ok, sc1[:, None] + sc2[None, :], 0)
-                if sums.max() > 0:
-                    a_i, b_i = np.unravel_index(np.argmax(sums), sums.shape)
-                    best_sum = int(sums[a_i, b_i])
-                    best_pair = (c1[a_i], c2[b_i])
-                    sums[a_i, b_i] = 0
-                    second_sum = int(sums.max())
+            best_pair, best_sum, second_sum = evals[i]
             m1 = self._reduce(reads1[i], c1)
             m2 = self._reduce(reads2[i], c2)
             if best_pair is not None:

@@ -180,3 +180,33 @@ def test_bowtie_mapq2_model():
     assert bowtie_mapq2(perfect, int(sc.min_score(L)) + 1, L, sc) >= 38
     # below min score → 0
     assert bowtie_mapq2(int(sc.min_score(L)) - 1, None, L, sc) == 0
+
+
+def test_paired_opposite_mate_rescue():
+    """nvBowtie opposite-mate rescue (score.cu): mate2 carries too many
+    mismatches for any exact 16bp seed, so it is unmappable alone — but
+    with mate1 anchored, scoring the insert window recovers it and the
+    pair reports concordant."""
+    rng = np.random.default_rng(11)
+    bases = np.array(list("ACGT"))
+    g = rng.integers(0, 4, 20000)
+    genome = "".join(bases[g])
+    p = 5000
+    m1 = genome[p:p + 100]
+    frag2 = list(genome[p + 250:p + 350])
+    # a mismatch every 10bp kills every 16-mer seed
+    for j in range(5, 100, 10):
+        frag2[j] = "ACGT"[(g[p + 250 + j] + 1) % 4]
+    from genomics_tpu.models.mapper import revcomp
+
+    m2 = revcomp("".join(frag2))
+    mapper = ReadMapper(genome)
+    # sanity: mate2 alone is unmappable by seeding
+    solo = mapper.map_batch([m2])[0]
+    assert solo.pos <= 0, "test premise broken: mate2 maps on its own"
+    with_rescue = mapper.map_pairs([m1], [m2], max_insert=500)[0]
+    without = mapper.map_pairs([m1], [m2], max_insert=500, rescue=False)[0]
+    assert not without[1].proper_pair
+    assert with_rescue[0].proper_pair and with_rescue[1].proper_pair
+    assert with_rescue[1].reverse
+    assert abs(with_rescue[1].pos - (p + 250 + 1)) <= 8
