@@ -257,6 +257,71 @@ def bench_ksw(B=16384, L=152, chain=10):
     return chain * B * L * L / dt / 1e9
 
 
+def bench_ksw_scores(B=16384, L=152, chain=10):
+    import jax
+    import jax.numpy as jnp
+
+    from genomics_tpu.core.scoring import AlignmentParams
+    from genomics_tpu.ops import pallas_ksw, scan_align
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(0)
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        B, chain = 1024, 1
+    q = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    ql = jnp.full((B,), L, jnp.int32)
+    tl = jnp.full((B,), L, jnp.int32)
+    h0 = jnp.full((B,), 30, jnp.int32)
+
+    @jax.jit
+    def many(q, t):
+        acc = jnp.int32(0)
+        for k in range(chain):
+            acc += pallas_ksw.ksw_align_scores_tpu(
+                jnp.roll(q, k, 0), t, ql, tl, h0, params,
+                has_n=False).sum()
+        return acc
+
+    _ = float(many(q, t))
+    t0 = time.time()
+    _ = float(many(q, t))
+    return chain * B * L * L / (time.time() - t0) / 1e9
+
+
+def bench_banded_scores(B=16384, L=152, chain=10, band_width_tiles=4):
+    import jax
+    import jax.numpy as jnp
+
+    from genomics_tpu.core.scoring import AlignmentParams
+    from genomics_tpu.ops import pallas_ksw
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(0)
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        B, chain = 1024, 1
+    q = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    ql = jnp.full((B,), L, jnp.int32)
+    tl = jnp.full((B,), L, jnp.int32)
+
+    @jax.jit
+    def many(q, t):
+        acc = jnp.int32(0)
+        for k in range(chain):
+            acc += pallas_ksw.banded_align_scores_tpu(
+                jnp.roll(q, k, 0), t, ql, tl, params,
+                band_width_tiles=band_width_tiles, has_n=False).sum()
+        return acc
+
+    _ = float(many(q, t))
+    t0 = time.time()
+    _ = float(many(q, t))
+    return chain * B * L * L / (time.time() - t0) / 1e9
+
+
 def bench_banded(B=16384, L=152, chain=10, band_width_tiles=4):
     import jax
     import jax.numpy as jnp
@@ -443,7 +508,9 @@ def main():
         ("pairhmm_exact_gcups", lambda: bench_pairhmm(exact=True)),
         ("myers_gcups", bench_myers),
         ("ksw_gcups", bench_ksw),
+        ("ksw_score_gcups", bench_ksw_scores),
         ("banded_gcups", bench_banded),
+        ("banded_score_gcups", bench_banded_scores),
         ("corrector_reads_per_s", bench_corrector),
         ("mapper_reads_per_s", bench_mapper),
     ]

@@ -817,7 +817,7 @@ def _local_kernel_intertask_tb(q_ref, t_ref, out_score, out_qend, out_tend,
     out_tend[...] = jnp.where(nz, tend, 0)
 
 
-def _local_align_intertask_tb(q, t, params):
+def _local_align_intertask_tb(q, t, params, tb_layout="bsq"):
     B, Lq = q.shape
     Lt = t.shape[1]
     nb = B // LANES
@@ -866,8 +866,12 @@ def _local_align_intertask_tb(q, t, params):
         interpret=_interpret(),
     )(Q3, T3)
     score, qend, tend = (r.reshape(B) for r in res[:3])
-    # [Lt8, Lq, nb, LANES] → [B, Lt8, Lq]
-    tb = jnp.transpose(res[3], (2, 3, 0, 1)).reshape(B, Lt // 8, Lq)
+    if tb_layout == "sqb":
+        # the kernel's native HBM layout — no device relayout at all
+        tb = res[3].reshape(Lt // 8, Lq, B)
+    else:
+        # [Lt8, Lq, nb, LANES] → [B, Lt8, Lq]
+        tb = jnp.transpose(res[3], (2, 3, 0, 1)).reshape(B, Lt // 8, Lq)
     return AlignResult(score, qend, tend, tb)
 
 
@@ -1070,15 +1074,20 @@ def local_align_scores_tpu(
     return _local_align_scores_jit(q, t, params, use16, bool(has_n))
 
 
-@functools.partial(jax.jit, static_argnames=("params", "with_tb"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "with_tb", "tb_layout"))
 def local_align_tpu(
     q: jnp.ndarray,   # [B, Lq] uint8, B % 128 == 0, Lq % 8 == 0
     t: jnp.ndarray,   # [B, Lt]
     params: AlignmentParams,
     with_tb: bool = False,
+    tb_layout: str = "bsq",
 ) -> AlignResult:
     """Batched GASAL2-local on TPU via Pallas.  Returns AlignResult; tb
-    (if requested) is [B, Lt, Lq//8] int32 packed nibbles."""
+    (if requested) is [B, Lt//8, Lq] int32 packed nibbles, or — with
+    tb_layout="sqb" — the kernels' NATIVE [Lt//8, Lq, B] HBM layout,
+    which skips a 2x-matrix-size device transpose (the native CIGAR
+    decoder walks either layout via strides)."""
     B, Lq = q.shape
     Lt = t.shape[1]
     if B % LANES or Lq % 8:
@@ -1089,7 +1098,8 @@ def local_align_tpu(
         )
     if B % INTERTASK_MIN == 0 and Lt % 8 == 0:
         if with_tb:
-            return _local_align_intertask_tb(q, t, params)
+            return _local_align_intertask_tb(q, t, params,
+                                             tb_layout=tb_layout)
         return _local_align_intertask(q, t, params)
     # int16 cells would double VPU density, but the current Mosaic
     # release rejects sub-32-bit sublane rotates ("Rotate with
@@ -1132,7 +1142,10 @@ def local_align_tpu(
         interpret=_interpret(),
     )(qT, tT)
     score, qend, tend = res[0][0], res[1][0], res[2][0]
-    tb = jnp.transpose(res[3], (2, 0, 1)) if with_tb else None
+    tb = None
+    if with_tb:
+        tb = res[3] if tb_layout == "sqb" else jnp.transpose(
+            res[3], (2, 0, 1))
     return AlignResult(score, qend, tend, tb)
 
 

@@ -143,23 +143,28 @@ def _pairhmm_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
 
 
 def _intertask_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
-                      qm1_ref, qm_ref, delta_ref, xiksi_ref, alpha_ref,
+                      qm1_ref, qm_ref, delta_ref, xiksi_ref, alphan_ref,
                       out_ref, bufM, bufI, bufT, *, R, C, S):
     """Inter-task row sweep: each (sublane, lane) slot is one pair — the
     TPU analog of the reference's thread-per-pair serial row DP
     (/root/reference/Non-CDP/PairHMM/inter_task/Synthetic_data/tile_1/
     tile_1.cu:40-130, one thread walks the whole matrix row-major).
 
-    S*128 pairs per program as [S, 128] tiles; row state M/I and the
-    combined diagonal term T(r,c) = alpha[r+1]*M + beta*(I+D) live in
-    [C, S, 128] VMEM scratch, sliced per column (the
-    _local_kernel_intertask layout).  Zero diagonal waste and exactly
-    R*C steps (vs R+C-1 wavefront steps on a half-empty tile in the
-    anti-diagonal kernel), which is why this is the fast mode.
+    S*128 pairs per program as [S, 128] tiles, structured like the SW
+    inter-task kernel: STRIPS of 8 read rows live in registers, the
+    inner fori walks hap columns, and the [C, S, 128] scratch rows
+    (M / I / the combined diagonal term T(r,c) = alpha[r+1]*M +
+    beta*(I+D)) are loaded/stored ONCE per column for the whole strip —
+     7 VMEM ops per 8*S*128 cells instead of per S*128 (the per-column
+    single-row variant measured 0.07 GCUPS; VMEM dynamic-slice traffic
+    dominated).  Zero diagonal waste, exactly R*C cell-steps.
 
     Out-of-range cells are left unmasked: all dependencies flow down
     (r+1) and right (c+1), so garbage beyond rlen/clen never reaches a
     valid cell; only the result row accumulation is masked.
+
+    alphan_ref is PRE-SHIFTED on the host: row r holds alpha[r+1] (the
+    stored T term belongs to the next row's recurrence).
     """
     eps = jnp.float32(0.1)
     beta = jnp.float32(0.9)
@@ -173,54 +178,54 @@ def _intertask_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
     bufI[...] = jnp.tile(zero[None], (C, 1, 1))
     bufT[...] = jnp.tile(betaD0[None], (C, 1, 1))
 
-    # columns per fori iteration: like the SW inter-task kernel, the
-    # body is latency-bound (serial D chain + VMEM row-buffer loads), so
-    # unrolling fills the pipeline
-    UNROLL = 8 if C % 8 == 0 else (4 if C % 4 == 0 else 1)
+    def strip(rs, res):
+        r0 = rs * 8
+        reads8 = reads_ref[pl.ds(r0, 8), :, :]      # [8, S, 128]
+        qm18 = qm1_ref[pl.ds(r0, 8), :, :]
+        qm8 = qm_ref[pl.ds(r0, 8), :, :]
+        delta8 = delta_ref[pl.ds(r0, 8), :, :]
+        xiksi8 = xiksi_ref[pl.ds(r0, 8), :, :]
+        alphan8 = alphan_ref[pl.ds(r0, 8), :, :]
+        is_last = [rlen - 1 == r0 + i for i in range(8)]
+        # T(r0-1, -1): the (-1,-1) corner carries D0 into row 0; the
+        # left column boundary is 0 for every later strip
+        tdiag0 = jnp.where(rs == 0, betaD0, zero)
 
-    def row_body(r, res):
-        readr = reads_ref[pl.ds(r, 1), :, :][0]
-        qm1r = qm1_ref[pl.ds(r, 1), :, :][0]
-        qmr = qm_ref[pl.ds(r, 1), :, :][0]
-        deltar = delta_ref[pl.ds(r, 1), :, :][0]
-        xiksir = xiksi_ref[pl.ds(r, 1), :, :][0]
-        # alpha for row r+1 goes into the stored T (input padded to R+1
-        # rows so the index stays in range; the pad row's T values are
-        # never read back)
-        alphan = alpha_ref[pl.ds(r + 1, 1), :, :][0]
-        # T(r-1, -1): the (-1,-1) corner carries D0 into row 0; the left
-        # column boundary is 0 for every later row
-        tdiag0 = jnp.where(r == 0, betaD0, zero)
-
-        def do_col(c, Mleft, Dleft, tdiag, rowacc):
+        def col(c, carry):
+            Mleft = list(carry[0:8])      # M(r0+i, c-1)
+            Dleft = list(carry[8:16])     # D(r0+i, c-1)
+            Tprev = list(carry[16:24])    # T(r0+i-1, c-1), i = 0..7
+            acc = carry[24]
             hapc = haps_ref[pl.ds(c, 1), :, :][0]
-            Mup = bufM[pl.ds(c, 1), :, :][0]
+            Mup = bufM[pl.ds(c, 1), :, :][0]    # M(r0-1, c)
             Iup = bufI[pl.ds(c, 1), :, :][0]
-            Tc = bufT[pl.ds(c, 1), :, :][0]
-            prior = jnp.where(hapc == readr, qm1r, qmr)
-            Mnew = prior * tdiag
-            Inew = Mup * deltar + Iup * eps
-            Dnew = Dleft * eps + Mleft * xiksir
-            bufM[pl.ds(c, 1), :, :] = Mnew[None]
-            bufI[pl.ds(c, 1), :, :] = Inew[None]
-            bufT[pl.ds(c, 1), :, :] = (
-                alphan * Mnew + beta * (Inew + Dnew))[None]
-            rowacc = rowacc + jnp.where(c < clen, Mnew + Inew, 0.0)
-            return Mnew, Dnew, Tc, rowacc
+            Tc = bufT[pl.ds(c, 1), :, :][0]     # T(r0-1, c) → next Tprev[0]
+            cmask = c < clen
+            Ts = []
+            Mprev_col, Iprev_col = Mup, Iup
+            for i in range(8):
+                prior = jnp.where(hapc == reads8[i], qm18[i], qm8[i])
+                Mnew = prior * Tprev[i]
+                Inew = Mprev_col * delta8[i] + Iprev_col * eps
+                Dnew = Dleft[i] * eps + Mleft[i] * xiksi8[i]
+                Tnew = alphan8[i] * Mnew + beta * (Inew + Dnew)
+                acc = acc + jnp.where(is_last[i] & cmask, Mnew + Inew, 0.0)
+                Ts.append(Tnew)
+                Mleft[i] = Mnew
+                Dleft[i] = Dnew
+                Mprev_col, Iprev_col = Mnew, Inew
+            bufM[pl.ds(c, 1), :, :] = Mleft[7][None]
+            bufI[pl.ds(c, 1), :, :] = Iprev_col[None]
+            bufT[pl.ds(c, 1), :, :] = Ts[7][None]
+            return (tuple(Mleft) + tuple(Dleft) + (Tc,) + tuple(Ts[:7])
+                    + (acc,))
 
-        def col_body(cb, carry):
-            Mleft, Dleft, tdiag, rowacc = carry
-            for u in range(UNROLL):
-                Mleft, Dleft, tdiag, rowacc = do_col(
-                    cb * UNROLL + u, Mleft, Dleft, tdiag, rowacc)
-            return (Mleft, Dleft, tdiag, rowacc)
+        init = ((zero,) * 8 + (zero,) * 8 + (tdiag0,) + (zero,) * 7
+                + (zero,))
+        fin = jax.lax.fori_loop(0, C, col, init)
+        return res + fin[24]
 
-        _, _, _, rowacc = jax.lax.fori_loop(
-            0, C // UNROLL, col_body, (zero, zero, tdiag0, zero)
-        )
-        return res + jnp.where(rlen - 1 == r, rowacc, 0.0)
-
-    out_ref[...] = jax.lax.fori_loop(0, R, row_body, zero)
+    out_ref[...] = jax.lax.fori_loop(0, R // 8, strip, zero)
 
 
 INTER_TILE = 1024  # pad multiple: smallest program is [8, 128] slots
@@ -241,12 +246,23 @@ def pairhmm_forward_intertask_prepared(
     R, B = readsT.shape
     C = hapsT.shape[0]
     assert B % INTER_TILE == 0
+    # strip layout needs read rows in 8-multiples; pad rows are inert
+    # (all deps flow downward, result rows are matched exactly)
+    R8 = ((R + 7) // 8) * 8
+    pr = ((0, R8 - R), (0, 0))
+    readsT = jnp.pad(readsT, pr)
+    qm1T = jnp.pad(qm1T, pr)
+    qmT = jnp.pad(qmT, pr)
+    deltaT = jnp.pad(deltaT, pr)
+    xiksiT = jnp.pad(xiksiT, pr)
+    # pre-shift alpha: kernel row r consumes alpha[r+1]
+    alphanT = jnp.pad(alphaT[1:R + 1], pr)
     # sublane-batch per program: 2048 pairs where it divides and VMEM
     # allows — inputs (~6R + C rows) are double-buffered by the pallas
     # pipeline, scratch is 3C rows of [S, 128] f32
     S = 16 if (B % 2048 == 0
-               and (12 * R + 5 * C) * 16 * 128 * 4 < 15 << 20) else 8
-    kernel = functools.partial(_intertask_kernel, R=R, C=C, S=S)
+               and (12 * R8 + 5 * C) * 16 * 128 * 4 < 15 << 20) else 8
+    kernel = functools.partial(_intertask_kernel, R=R8, C=C, S=S)
     g3 = lambda X: pl.BlockSpec((X, S, LANES), lambda b: (0, b, 0),
                                 memory_space=pltpu.VMEM)
     shape3 = lambda a: a.reshape(a.shape[0], B // LANES, LANES)
@@ -254,8 +270,8 @@ def pairhmm_forward_intertask_prepared(
         kernel,
         grid=(B // (S * LANES),),
         in_specs=[
-            g3(R), g3(C), g3(1), g3(1), g3(1),
-            g3(R), g3(R), g3(R), g3(R), g3(R + 1),
+            g3(R8), g3(C), g3(1), g3(1), g3(1),
+            g3(R8), g3(R8), g3(R8), g3(R8), g3(R8),
         ],
         out_shape=jax.ShapeDtypeStruct((B // LANES, LANES), jnp.float32),
         out_specs=pl.BlockSpec((S, LANES), lambda b: (b, 0),
@@ -270,7 +286,7 @@ def pairhmm_forward_intertask_prepared(
         shape3(readsT), shape3(hapsT),
         shape3(rlenT), shape3(clenT), shape3(d0T),
         shape3(qm1T), shape3(qmT), shape3(deltaT), shape3(xiksiT),
-        shape3(alphaT),
+        shape3(alphanT),
     )
     return res.reshape(B)
 

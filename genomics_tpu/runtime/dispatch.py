@@ -108,7 +108,8 @@ class AlignEngine:
         # score-only mode: skip end-position tracking and dispatch the
         # fastest kernels (the reference's psa benchmarks are score-only
         # SW-Gotoh runs, CDP/NvB/prototypes/psa/README.md:28-44)
-        self.score_only = score_only and params.algo == AlgoType.LOCAL
+        self.score_only = score_only and params.algo in (
+            AlgoType.LOCAL, AlgoType.KSW, AlgoType.BANDED)
         # auto: compiled Pallas on TPU, scan engines elsewhere (interpret
         # mode is only for parity tests — too slow for real dispatch)
         if use_pallas is None:
@@ -130,7 +131,11 @@ class AlignEngine:
                 zero = jnp.zeros_like(score)
                 return scan_align.AlignResult(score, zero, zero, None)
             if self.use_pallas:
-                return pallas_align.local_align_tpu(qd, td, p, with_tb=self.with_tb)
+                # tb in the kernels' native [Lt8, Lq, B] layout — the
+                # strided native decoder walks it directly, skipping the
+                # 2x-matrix-size device transpose
+                return pallas_align.local_align_tpu(
+                    qd, td, p, with_tb=self.with_tb, tb_layout="sqb")
             return scan_align.local_align_batch(qd, td, p, with_tb=self.with_tb)
         if algo == AlgoType.GLOBAL:
             if self.use_pallas:
@@ -154,6 +159,11 @@ class AlignEngine:
             if self.use_pallas:
                 from genomics_tpu.ops import pallas_ksw
 
+                if self.score_only:
+                    score = pallas_ksw.ksw_align_scores_tpu(
+                        qd, td, ql, tl, jnp.asarray(h0), p, has_n=has_n)
+                    zero = jnp.zeros_like(score)
+                    return scan_align.AlignResult(score, zero, zero, None)
                 return pallas_ksw.ksw_align_tpu(
                     qd, td, ql, tl, jnp.asarray(h0), p
                 )
@@ -164,6 +174,13 @@ class AlignEngine:
             if self.use_pallas:
                 from genomics_tpu.ops import pallas_ksw
 
+                if self.score_only:
+                    score = pallas_ksw.banded_align_scores_tpu(
+                        qd, td, ql, tl, p,
+                        band_width_tiles=self.band_width_tiles,
+                        has_n=has_n)
+                    zero = jnp.zeros_like(score)
+                    return scan_align.AlignResult(score, zero, zero, None)
                 return pallas_ksw.banded_align_tpu(
                     qd, td, ql, tl, p, band_width_tiles=self.band_width_tiles
                 )
@@ -316,9 +333,15 @@ class AlignEngine:
             cigars = n_ops = qstart = tstart = None
             if self.with_tb and res.tb is not None:
                 packed = np.asarray(res.tb)
+                tb_layout = "bsq"
                 if packed.dtype == np.uint8:
                     # scan engine emits unpacked [B, Lt, Lq] nibbles; pack
                     packed = _pack_nibbles_np(packed)
+                elif (self.use_pallas
+                      and self.params.algo == AlgoType.LOCAL):
+                    # _run_bucket always requests the pallas-local
+                    # native layout, so this is deterministic
+                    tb_layout = "sqb"
                 head_q = head_t = False
                 dec_qend, dec_tend = qend, tend
                 if self.params.algo == AlgoType.LOCAL:
@@ -356,7 +379,7 @@ class AlignEngine:
                 cigars, n_ops, qstart, tstart = native.decode_tb_batch(
                     packed, qlen, tlen, algo, self.params,
                     score=score, qend=dec_qend, tend=dec_tend,
-                    head_q=head_q, head_t=head_t,
+                    head_q=head_q, head_t=head_t, layout=tb_layout,
                 )
             if second is not None:
                 s2 = np.asarray(second[3])

@@ -77,6 +77,11 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32),   # out n_corrections
             ]
             lib.gt_lighter_pass3.restype = ctypes.c_int
+            lib.gt_decode_tb_batch_strided.argtypes = (
+                [ctypes.POINTER(ctypes.c_int32),
+                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+                + list(lib.gt_decode_tb_batch.argtypes[1:])
+            )
             _lib = lib
         except Exception:
             _lib = None
@@ -103,14 +108,24 @@ def decode_tb_batch(
     max_ops: int | None = None,
     head_q: bool = False,
     head_t: bool = False,
+    layout: str = "bsq",
 ):
     """Batched CIGAR decode.  Returns (cigars [B, max_ops] u8, n_ops,
     qstart, tstart).  Uses the C++ decoder when available, else the
     Python gold (bit-identical).  algo: "local" | "global" |
     "semiglobal" (extension — see golds.decode_tb; qend/tend must be
-    the caller-resolved end cell, head_q/head_t the HEAD skip flags)."""
+    the caller-resolved end cell, head_q/head_t the HEAD skip flags).
+
+    layout: "bsq" = packed [B, Lt8, Lq]; "sqb" = packed [Lt8, Lq, B] —
+    the Pallas TB kernel's natural HBM layout, walked via strides so
+    the device never pays a relayout transpose."""
     packed = np.ascontiguousarray(packed, np.int32)
-    B, Lt8, Lq = packed.shape
+    if layout == "sqb":
+        Lt8, Lq, B = packed.shape
+        strides = (1, Lq * B, B)
+    else:
+        B, Lt8, Lq = packed.shape
+        strides = (Lt8 * Lq, Lq, 1)
     Lt = Lt8 * 8
     max_ops = max_ops or (Lq + Lt + 8)
     qlen = np.ascontiguousarray(qlen, np.int32)
@@ -129,8 +144,10 @@ def decode_tb_batch(
         n_ops = np.zeros(B, np.int32)
         qstart = np.zeros(B, np.int32)
         tstart = np.zeros(B, np.int32)
-        lib.gt_decode_tb_batch(
-            _ptr(packed, ctypes.c_int32), B, Lt8, Lq,
+        lib.gt_decode_tb_batch_strided(
+            _ptr(packed, ctypes.c_int32),
+            ctypes.c_int64(strides[0]), ctypes.c_int64(strides[1]),
+            ctypes.c_int64(strides[2]), B, Lt8, Lq,
             _ptr(qlen, ctypes.c_int32), _ptr(tlen, ctypes.c_int32),
             _ptr(score, ctypes.c_int32), _ptr(qend, ctypes.c_int32),
             _ptr(tend, ctypes.c_int32), a, flags,
@@ -146,6 +163,8 @@ def decode_tb_batch(
     from genomics_tpu.core import golds
     from genomics_tpu.ops.pallas_align import unpack_tb_nibbles
 
+    if layout == "sqb":
+        packed = np.ascontiguousarray(packed.transpose(2, 0, 1))
     nibs = unpack_tb_nibbles(packed)  # [B, Lt, Lq]
     cigars = np.zeros((B, max_ops), np.uint8)
     n_ops = np.zeros(B, np.int32)

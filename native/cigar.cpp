@@ -29,7 +29,8 @@ extern "C" {
 //       the target HEAD is not skipped (flags bit1), leading I only when
 //       the query HEAD is not skipped (flags bit0); starts = first
 //       consumed position of head-skipped dimensions.
-static int decode_one(const int32_t* packed, int Lt8, int Lq,
+static int decode_one(const int32_t* packed, int64_t str_s, int64_t str_q,
+                      int Lt8, int Lq,
                       int qlen, int tlen, int algo, int flags,
                       int score, int qend, int tend,
                       int match, int mismatch, int gap_oe, int gap_extend,
@@ -55,7 +56,8 @@ static int decode_one(const int32_t* packed, int Lt8, int Lq,
     while (i >= 0 && j >= 0) {
         uint32_t cell_op = 0;
         if (i < Lt && j < Lq) {
-            uint32_t word = (uint32_t)packed[(size_t)(i >> 3) * Lq + j];
+            uint32_t word =
+                (uint32_t)packed[(int64_t)(i >> 3) * str_s + (int64_t)j * str_q];
             cell_op = (word >> (4 * (i & 7))) & 0xF;
         }
         uint32_t op = (cell_op >> op_shift) & (uint32_t)op_select;
@@ -126,7 +128,31 @@ static int decode_one(const int32_t* packed, int Lt8, int Lq,
     return n;
 }
 
-// Batched decode.  packed: [B, Lt, Lq8] int32; cigars: [B, max_ops] u8.
+// Batched decode with arbitrary element strides — lets the Pallas TB
+// kernel's natural [strip, q, batch] HBM layout feed the walk directly,
+// skipping the 2x-matrix-size device transpose the [B, strip, q] layout
+// cost.  strides are in int32 elements.
+void gt_decode_tb_batch_strided(
+    const int32_t* packed, int64_t str_b, int64_t str_s, int64_t str_q,
+    int B, int Lt8, int Lq,
+    const int32_t* qlen, const int32_t* tlen,
+    const int32_t* score, const int32_t* qend,
+    const int32_t* tend, int algo, int flags,
+    int match, int mismatch, int gap_oe, int gap_extend,
+    uint8_t* cigars, int max_ops, int32_t* n_ops,
+    int32_t* qstart, int32_t* tstart) {
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int b = 0; b < B; b++) {
+        n_ops[b] = decode_one(
+            packed + (int64_t)b * str_b, str_s, str_q, Lt8, Lq,
+            qlen[b], tlen[b], algo,
+            flags, score[b], qend[b], tend[b], match, mismatch, gap_oe,
+            gap_extend, cigars + (size_t)b * max_ops, max_ops, &qstart[b],
+            &tstart[b]);
+    }
+}
+
+// Batched decode.  packed: [B, Lt8, Lq] int32 contiguous.
 void gt_decode_tb_batch(const int32_t* packed, int B, int Lt8, int Lq,
                         const int32_t* qlen, const int32_t* tlen,
                         const int32_t* score, const int32_t* qend,
@@ -134,14 +160,10 @@ void gt_decode_tb_batch(const int32_t* packed, int B, int Lt8, int Lq,
                         int match, int mismatch, int gap_oe, int gap_extend,
                         uint8_t* cigars, int max_ops, int32_t* n_ops,
                         int32_t* qstart, int32_t* tstart) {
-#pragma omp parallel for schedule(dynamic, 16)
-    for (int b = 0; b < B; b++) {
-        n_ops[b] = decode_one(
-            packed + (size_t)b * Lt8 * Lq, Lt8, Lq, qlen[b], tlen[b], algo,
-            flags, score[b], qend[b], tend[b], match, mismatch, gap_oe,
-            gap_extend, cigars + (size_t)b * max_ops, max_ops, &qstart[b],
-            &tstart[b]);
-    }
+    gt_decode_tb_batch_strided(
+        packed, (int64_t)Lt8 * Lq, Lq, 1, B, Lt8, Lq, qlen, tlen, score,
+        qend, tend, algo, flags, match, mismatch, gap_oe, gap_extend,
+        cigars, max_ops, n_ops, qstart, tstart);
 }
 
 // 4-bit encode: ASCII → code (c & 0xF), vectorized helper for host prep.

@@ -108,3 +108,53 @@ def test_myers_tpu_single_word():
     np.testing.assert_array_equal(np.asarray(b0), b1)
     np.testing.assert_array_equal(np.asarray(e0), e1)
     np.testing.assert_array_equal(np.asarray(f0), f1)
+
+
+def test_ksw_score_only_parity():
+    """Score-only full-rectangle ksw must score identically to the
+    windowed kernel (pruning only skips provably-zero state), with and
+    without the no-N contract."""
+    from genomics_tpu.core.scoring import AlignmentParams
+    from genomics_tpu.ops import pallas_ksw
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(3)
+    B, L = 1024, 48
+    q = (rng.integers(0, 4, (B, L)) * 2 + 1).astype(np.uint8)
+    t = (rng.integers(0, 4, (B, L)) * 2 + 1).astype(np.uint8)
+    ql = rng.integers(16, L + 1, B).astype(np.int32)
+    tl = rng.integers(16, L + 1, B).astype(np.int32)
+    for i in range(0, B, 7):
+        q[i, rng.integers(0, ql[i])] = 14      # N4
+    h0 = rng.integers(10, 60, B).astype(np.int32)
+    args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+            jnp.asarray(tl), jnp.asarray(h0), params)
+    full = pallas_ksw.ksw_align_tpu(*args)
+    so = pallas_ksw.ksw_align_scores_tpu(*args, has_n=True)
+    np.testing.assert_array_equal(np.asarray(full.score), np.asarray(so))
+    q2 = jnp.asarray((rng.integers(0, 4, (B, L)) * 2 + 1).astype(np.uint8))
+    args2 = (q2,) + args[1:]
+    full2 = pallas_ksw.ksw_align_tpu(*args2)
+    so2 = pallas_ksw.ksw_align_scores_tpu(*args2, has_n=False)
+    np.testing.assert_array_equal(np.asarray(full2.score), np.asarray(so2))
+
+
+def test_banded_score_only_parity():
+    from genomics_tpu.core.scoring import AlignmentParams
+    from genomics_tpu.ops import pallas_ksw
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(4)
+    B, L = 1024, 48
+    q = (rng.integers(0, 4, (B, L)) * 2 + 1).astype(np.uint8)
+    t = (rng.integers(0, 4, (B, L)) * 2 + 1).astype(np.uint8)
+    ql = rng.integers(16, L + 1, B).astype(np.int32)
+    tl = rng.integers(16, L + 1, B).astype(np.int32)
+    for i in range(0, B, 7):
+        q[i, rng.integers(0, ql[i])] = 14
+    args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+            jnp.asarray(tl), params, 4)
+    full = pallas_ksw.banded_align_tpu(*args[:5],
+                                       band_width_tiles=4)
+    so = pallas_ksw.banded_align_scores_tpu(*args, has_n=True)
+    np.testing.assert_array_equal(np.asarray(full.score), np.asarray(so))
