@@ -55,11 +55,16 @@ def bench_sw_tb(B=4096, L=152):
     q = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
     t = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
     on_tpu = jax.default_backend() == "tpu"
-    fn = pallas_align.local_align_tpu if on_tpu else scan_align.local_align_batch
 
     @jax.jit
     def one(q, t):
-        r = fn(q, t, params, with_tb=True)
+        if on_tpu:
+            # the production path: native [strip, q, batch] HBM layout,
+            # no device relayout (the strided CIGAR decoder walks it)
+            r = pallas_align.local_align_tpu(q, t, params, with_tb=True,
+                                             tb_layout="sqb")
+        else:
+            r = scan_align.local_align_batch(q, t, params, with_tb=True)
         return r.score.sum() + r.tb.sum()
 
     _ = float(one(q, t))

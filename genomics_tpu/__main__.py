@@ -91,6 +91,13 @@ def main(argv=None):
     p.add_argument("-p", "--patterns", required=True, nargs="+")
     p.add_argument("--locate", action="store_true")
 
+    p = sub.add_parser(
+        "fmserver",
+        help="persistent FM-index query server (nvFM-server): one "
+             "pattern per stdin line → count + hits; QUIT exits")
+    p.add_argument("-x", "--index", required=True)
+    p.add_argument("--locate-limit", type=int, default=20)
+
     p = sub.add_parser("extract", help="dump reads from BAM/FASTQ/FASTA (nvExtractReads)")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
@@ -210,20 +217,60 @@ def main(argv=None):
 
         recs = read_fasta(args.reference)
         if args.set_bwt:
-            text = "".join(r.seq for r in recs)      # nvSetBWT: read set
+            # true string-set BWT (nvSetBWT): per-read terminators,
+            # wavelet-tree rank over the 6-symbol alphabet
+            from genomics_tpu.index.setbwt import SetFMIndex
+
+            sfm = SetFMIndex([r.seq for r in recs])
+            sfm.save(args.output)
+            print(f"set-BWT over {sfm.n_reads} reads "
+                  f"({len(sfm.text)} symbols) → {args.output}")
         else:
             text = "".join(r.seq for r in recs)      # multi-contig concat
-        fm = FMIndex(text, sa_rate=args.sa_rate)
-        save_index(fm, args.output)
-        print(f"indexed {len(text)} bp ({len(recs)} sequences, "
-              f"sa_rate={fm.sa_rate}) → {args.output}.npz"
-              if not args.output.endswith('.npz') else args.output)
+            fm = FMIndex(text, sa_rate=args.sa_rate)
+            save_index(fm, args.output)
+            print(f"indexed {len(text)} bp ({len(recs)} sequences, "
+                  f"sa_rate={fm.sa_rate}) → {args.output}.npz"
+                  if not args.output.endswith('.npz') else args.output)
+    elif args.cmd == "fmserver":
+        import sys as _sys
+
+        from genomics_tpu.index import setbwt as _sb
+
+        path = args.index if args.index.endswith(".npz") \
+            else args.index + ".npz"
+        import numpy as _np
+
+        z = _np.load(path, allow_pickle=False)
+        if "kind" in z and str(z["kind"]) == "setbwt":
+            idx = _sb.SetFMIndex.load(path)
+        else:
+            from genomics_tpu.index.fmindex import load_index
+
+            idx = load_index(args.index)
+        print("ready", flush=True)
+        _sb.serve(idx, _sys.stdin, _sys.stdout,
+                  locate_limit=args.locate_limit)
     elif args.cmd == "fmquery":
         import numpy as np
 
         from genomics_tpu.index.fmindex import load_index
         from genomics_tpu.index.qgram import encode2
 
+        np_z = np.load(args.index if args.index.endswith(".npz")
+                       else args.index + ".npz", allow_pickle=False)
+        if "kind" in np_z and str(np_z["kind"]) == "setbwt":
+            from genomics_tpu.index.setbwt import SetFMIndex
+
+            sfm = SetFMIndex.load(args.index)
+            for pat in args.patterns:
+                cnt = sfm.count(pat)
+                line = f"{pat}\t{cnt}"
+                if args.locate and cnt:
+                    line += "\t" + ",".join(
+                        f"{r}:{o}" for r, o in sfm.locate(pat))
+                print(line)
+            return
         fm = load_index(args.index)
         L = max(len(p_) for p_ in args.patterns)
         Q = np.full((len(args.patterns), L), 255, np.uint8)

@@ -187,7 +187,8 @@ KSW_SUBS = 8   # [8, 128] slot tile: VMEM-safe with the two eh[] scratch slabs
 
 def _ksw_kernel_intertask(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
                           out_score, out_qend, out_tend,
-                          ehh_ref, ehe_ref, *, params, Lq, Lt):
+                          ehh_ref, ehe_ref, *, params, Lq, Lt,
+                          score_only=False, has_n=True):
     """ksw_extend in the inter-task layout: every VPU slot of an [8, 128]
     tile is a different extension and the reference's serial per-thread
     walk (ksw_kernel_template.h:46-203) runs cell-by-cell with vector
@@ -233,12 +234,16 @@ def _ksw_kernel_intertask(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
         inwin = do & (j >= beg) & (j < end)
         at_end = do & (j == end)
         s = jnp.where(q_j == t_i, match, mism)
-        s = jnp.where((q_j == N4) | t_is_n, npen, s)
+        if has_n:
+            s = jnp.where((q_j == N4) | t_is_n, npen, s)
         M = jnp.where(old_h != 0, old_h + s, 0)
         h = jnp.maximum(jnp.maximum(M, old_e), f)
-        upd = inwin & (h >= m)             # ref: mj = m > h ? mj : j
-        mj = jnp.where(upd, j, mj)
-        m = jnp.where(upd, h, m)
+        if score_only:
+            m = jnp.maximum(m, jnp.where(inwin, h, 0))
+        else:
+            upd = inwin & (h >= m)         # ref: mj = m > h ? mj : j
+            mj = jnp.where(upd, j, mj)
+            m = jnp.where(upd, h, m)
         tt = jnp.maximum(M - goe, 0)
         e_new = jnp.maximum(old_e - ge, tt)
         f_new = jnp.maximum(f - ge, tt)
@@ -258,7 +263,7 @@ def _ksw_kernel_intertask(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
         beg, end, alive, mx, max_i, max_j, max_ie, gscore = carry
         do = (alive > 0) & (i < tlen)
         t_i = t_ref[pl.ds(i, 1), :, :][0]
-        t_is_n = t_i == N4
+        t_is_n = t_i == N4 if has_n else None
         h1_0 = jnp.where(beg == 0, jnp.maximum(h0 - (goe + ge * i), 0), 0)
 
         def jstep(jt, rc):
@@ -287,8 +292,9 @@ def _ksw_kernel_intertask(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
         do2 = do & (m != 0)
         mupd = do2 & (m > mx)
         mx = jnp.where(mupd, m, mx)
-        max_i = jnp.where(mupd, i, max_i)
-        max_j = jnp.where(mupd, mj, max_j)
+        if not score_only:
+            max_i = jnp.where(mupd, i, max_i)
+            max_j = jnp.where(mupd, mj, max_j)
         beg_new = jnp.minimum(first_act, end)
         last2 = jnp.maximum(last_act, beg_new - 1)
         end_new = jnp.minimum(last2 + 2, qlen)
@@ -306,147 +312,25 @@ def _ksw_kernel_intertask(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
     out_tend[...] = jnp.where(clip, max_i + 1, max_ie + 1)
 
 
-def _ksw_kernel_intertask_score(q_ref, t_ref, qlen_ref, tlen_ref, h0_ref,
-                                out_score, ehh_ref, ehe_ref, *,
-                                params, Lq, Lt, has_n):
-    """Score-only ksw_extend: full-rectangle walk with NO beg/end window
-    bookkeeping.  The reference's pruning only ever skips cells whose
-    state is provably zero (the beg/end window tracks the nonzero
-    support), so walking the full rectangle computes identical scores —
-    and removes the ~8 mask ops/cell plus two cross-lane scalar
-    reductions per row that the windowed walk pays.  The m==0 'thread
-    died' break is preserved through its only observable effect: a dead
-    slot's first-column boundary seed is zeroed, so its state can never
-    re-ignite (every other path to a nonzero cell is through existing
-    nonzero state).  has_n=False drops the N-penalty select under the
-    no-in-sequence-N contract (pad cells are never inside qlen/tlen).
-
-    bwa-mem seed extension is score-dominated (ksw_kernel_template.h:
-    46-203 — the full kernel only adds end positions), so this is the
-    production fast path, like the psa score-only benchmarks."""
-    goe = jnp.int32(params.gap_oe)
-    ge = jnp.int32(params.gap_extend)
-    S = out_score.shape[0]
-    zero = _ij_zero(S)
-    qlen = qlen_ref[...]
-    tlen = tlen_ref[...]
-    h0 = h0_ref[...]
-    Lqe = Lq + 8
-
-    r3 = jax.lax.broadcasted_iota(jnp.int32, (Lqe, S, LANES), 0)
-    h0b = h0[None]
-    ehh0 = jnp.maximum(h0b - goe - (r3 - 1) * ge, 0)
-    ehh0 = jnp.where(r3 == 0, h0b, ehh0)
-    written = (r3 < 2) | ((h0b - goe - (r3 - 2) * ge) > ge)
-    ehh_ref[...] = jnp.where(written & (r3 <= qlen[None]), ehh0, 0)
-    ehe_ref[...] = jnp.zeros((Lqe, S, LANES), jnp.int32)
-
-    match = jnp.int32(params.match)
-    mism = jnp.int32(-params.mismatch)
-    npen = (jnp.int32(-params.n_penalty)
-            if params.n_penalty is not None else jnp.int32(0))
-    UNROLL = 8
-
-    def do_cell(j, t_i, t_is_n, inrow, rc):
-        h1, f, rowmax, hq = rc
-        q_j = q_ref[pl.ds(j, 1), :, :][0]
-        old_h = ehh_ref[pl.ds(j, 1), :, :][0]
-        old_e = ehe_ref[pl.ds(j, 1), :, :][0]
-        incell = inrow & (j < qlen)
-        s = jnp.where(q_j == t_i, match, mism)
-        if has_n:
-            s = jnp.where((q_j == N4) | t_is_n, npen, s)
-        M = jnp.where(old_h != 0, old_h + s, 0)
-        h = jnp.maximum(jnp.maximum(M, old_e), f)
-        h = jnp.where(incell, h, 0)
-        rowmax = jnp.maximum(rowmax, h)
-        hq = jnp.where(j + 1 == qlen, h, hq)
-        tt = jnp.maximum(M - goe, 0)
-        ehh_ref[pl.ds(j, 1), :, :] = jnp.where(incell, h1, old_h)[None]
-        ehe_ref[pl.ds(j, 1), :, :] = jnp.where(
-            incell, jnp.maximum(old_e - ge, tt), old_e)[None]
-        h1 = jnp.where(incell, h, h1)
-        f = jnp.where(incell, jnp.maximum(f - ge, tt), f)
-        return (h1, f, rowmax, hq)
-
-    def row(i, carry):
-        alive, mx, gscore = carry
-        do = (alive > 0) & (i < tlen)
-        t_i = t_ref[pl.ds(i, 1), :, :][0]
-        t_is_n = t_i == N4 if has_n else None
-        # a dead slot's boundary seed is zeroed so it cannot re-ignite
-        h1_0 = jnp.where(do, jnp.maximum(h0 - (goe + ge * i), 0), 0)
-
-        def jstep(jt, rc):
-            for u in range(UNROLL):
-                rc = do_cell(jt * UNROLL + u, t_i, t_is_n, do, rc)
-            return rc
-
-        init = (h1_0, zero, zero, zero)
-        _h1, _f, rowmax, hq = jax.lax.fori_loop(
-            0, (Lq + UNROLL) // UNROLL, jstep, init)
-        gupd = do & (gscore <= hq)
-        gscore = jnp.where(gupd, hq, gscore)
-        died = do & (rowmax == 0)
-        alive = jnp.where(died, 0, alive)
-        mx = jnp.maximum(mx, rowmax)
-        return (alive, mx, gscore)
-
-    init = (zero + 1, h0, zero - 1)
-    _alive, mx, gscore = jax.lax.fori_loop(0, jnp.max(tlen), row, init)
-    clip = (gscore <= 0) | (gscore <= mx - 5)   # PEN_CLIP5
-    out_score[...] = jnp.where(clip, mx, gscore)
-
-
-@functools.partial(jax.jit, static_argnames=("params", "has_n"))
-def _ksw_scores_intertask(q, t, qlen, tlen, h0, params, has_n):
-    B, Lq = q.shape
-    Lt = t.shape[1]
-    nb = B // LANES
-    subs = KSW_SUBS
-    Q3 = jnp.pad(q.T.astype(jnp.int32), ((0, 8), (0, 0)),
-                 constant_values=int(N4)).reshape(Lq + 8, nb, LANES)
-    T3 = t.T.astype(jnp.int32).reshape(Lt, nb, LANES)
-    qlen2 = jnp.asarray(qlen, jnp.int32).reshape(nb, LANES)
-    tlen2 = jnp.asarray(tlen, jnp.int32).reshape(nb, LANES)
-    h02 = jnp.asarray(h0, jnp.int32).reshape(nb, LANES)
-    kernel = functools.partial(
-        _ksw_kernel_intertask_score, params=params, Lq=Lq, Lt=Lt,
-        has_n=has_n)
-    slot = pl.BlockSpec((subs, LANES), lambda b: (b, 0),
-                        memory_space=pltpu.VMEM)
-    res = pl.pallas_call(
-        kernel,
-        grid=(B // (subs * LANES),),
-        in_specs=[
-            pl.BlockSpec((Lq + 8, subs, LANES), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Lt, subs, LANES), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            slot, slot, slot,
-        ],
-        out_shape=jax.ShapeDtypeStruct((nb, LANES), jnp.int32),
-        out_specs=slot,
-        scratch_shapes=[
-            pltpu.VMEM((Lq + 8, subs, LANES), jnp.int32),
-            pltpu.VMEM((Lq + 8, subs, LANES), jnp.int32),
-        ],
-        interpret=_interpret(),
-    )(Q3, T3, qlen2, tlen2, h02)
-    return res.reshape(B)
-
-
 def ksw_align_scores_tpu(q, t, qlen, tlen, h0, params, has_n=True):
-    """Score-only ksw fast path (identical scores to ksw_align_tpu)."""
+    """Score-only ksw fast path: the windowed inter-task walk minus
+    end-position tracking (identical scores to ksw_align_tpu; a
+    full-rectangle no-window variant measured 2x SLOWER here — the
+    beg/end pruning is the dominant win for dying extensions, exactly
+    why the reference carries it, ksw_kernel_template.h:178-184).
+    has_n=False additionally drops the N-penalty selects."""
     B = q.shape[0]
     if B % (KSW_SUBS * LANES) == 0 and B >= INTERTASK_MIN:
-        return _ksw_scores_intertask(q, t, qlen, tlen, h0, params,
-                                     bool(has_n))
+        return _ksw_align_intertask(q, t, qlen, tlen, h0, params,
+                                    score_only=True,
+                                    has_n=bool(has_n)).score
     return ksw_align_tpu(q, t, qlen, tlen, h0, params).score
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _ksw_align_intertask(q, t, qlen, tlen, h0, params):
+@functools.partial(jax.jit,
+                   static_argnames=("params", "score_only", "has_n"))
+def _ksw_align_intertask(q, t, qlen, tlen, h0, params,
+                         score_only=False, has_n=True):
     B, Lq = q.shape
     Lt = t.shape[1]
     nb = B // LANES
@@ -459,7 +343,8 @@ def _ksw_align_intertask(q, t, qlen, tlen, h0, params):
     tlen2 = jnp.asarray(tlen, jnp.int32).reshape(nb, LANES)
     h02 = jnp.asarray(h0, jnp.int32).reshape(nb, LANES)
     kernel = functools.partial(
-        _ksw_kernel_intertask, params=params, Lq=Lq, Lt=Lt)
+        _ksw_kernel_intertask, params=params, Lq=Lq, Lt=Lt,
+        score_only=score_only, has_n=has_n)
     slot = pl.BlockSpec((subs, LANES), lambda b: (b, 0),
                         memory_space=pltpu.VMEM)
     res = pl.pallas_call(

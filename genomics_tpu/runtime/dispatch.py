@@ -131,11 +131,23 @@ class AlignEngine:
                 zero = jnp.zeros_like(score)
                 return scan_align.AlignResult(score, zero, zero, None)
             if self.use_pallas:
-                # tb in the kernels' native [Lt8, Lq, B] layout — the
-                # strided native decoder walks it directly, skipping the
-                # 2x-matrix-size device transpose
-                return pallas_align.local_align_tpu(
+                # tb in the kernels' native [Lt8, Lq, B] layout, then
+                # the WALK runs on device too (ops/tb_walk — the
+                # gasal_get_tb-on-GPU design point): only the O(Lq+Lt)
+                # op stream leaves the chip, ~30x less transfer than
+                # the nibble cube
+                res = pallas_align.local_align_tpu(
                     qd, td, p, with_tb=self.with_tb, tb_layout="sqb")
+                if self.with_tb:
+                    from genomics_tpu.ops import tb_walk
+
+                    ops, qst, tst = tb_walk.tb_walk_device(
+                        res.tb, ql, tl, res.score, res.query_end,
+                        res.target_end, p, algo="local")
+                    return scan_align.AlignResult(
+                        res.score, res.query_end, res.target_end,
+                        (ops, qst, tst))
+                return res
             return scan_align.local_align_batch(qd, td, p, with_tb=self.with_tb)
         if algo == AlgoType.GLOBAL:
             if self.use_pallas:
@@ -331,7 +343,16 @@ class AlignEngine:
                     )
                     starts = (qst, tst)
             cigars = n_ops = qstart = tstart = None
-            if self.with_tb and res.tb is not None:
+            if self.with_tb and isinstance(res.tb, tuple):
+                # device-walked op streams (LOCAL pallas path): host
+                # work is just the run-length encode
+                from genomics_tpu.ops import tb_walk
+
+                ops_np = np.asarray(res.tb[0])
+                cigars, n_ops = tb_walk.rle_cigar(ops_np)
+                qstart = np.asarray(res.tb[1])
+                tstart = np.asarray(res.tb[2])
+            elif self.with_tb and res.tb is not None:
                 packed = np.asarray(res.tb)
                 tb_layout = "bsq"
                 if packed.dtype == np.uint8:

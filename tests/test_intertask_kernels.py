@@ -158,3 +158,43 @@ def test_banded_score_only_parity():
                                        band_width_tiles=4)
     so = pallas_ksw.banded_align_scores_tpu(*args, has_n=True)
     np.testing.assert_array_equal(np.asarray(full.score), np.asarray(so))
+
+
+def test_device_tb_walk_matches_native_decode():
+    """ops/tb_walk's vectorized state machine must reproduce the native
+    decoder's byte-CIGARs and starts exactly (it is a 1:1 port of
+    decode_one, which is itself the get_tb.h transcription)."""
+    from genomics_tpu.core.scoring import AlignmentParams
+    from genomics_tpu.ops import pallas_align, tb_walk
+    from genomics_tpu.runtime import native
+    from genomics_tpu.runtime.dispatch import _pack_nibbles_np
+    from genomics_tpu.ops import scan_align
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(9)
+    B, Lq, Lt = 256, 32, 40
+    q = (rng.integers(0, 4, (B, Lq)) * 2 + 1).astype(np.uint8)
+    t = (rng.integers(0, 4, (B, Lt)) * 2 + 1).astype(np.uint8)
+    res = scan_align.local_align_batch(
+        jnp.asarray(q), jnp.asarray(t), params, with_tb=True)
+    packed = _pack_nibbles_np(np.asarray(res.tb))       # [B, Lt8, Lq]
+    score = np.asarray(res.score)
+    qend = np.asarray(res.query_end)
+    tend = np.asarray(res.target_end)
+    qlen = np.full(B, Lq, np.int32)
+    tlen = np.full(B, Lt, np.int32)
+    want_cig, want_n, want_qs, want_ts = native.decode_tb_batch(
+        packed, qlen, tlen, "local", params,
+        score=score, qend=qend, tend=tend)
+    sqb = jnp.asarray(np.ascontiguousarray(packed.transpose(1, 2, 0)))
+    ops, qst, tst = tb_walk.tb_walk_device(
+        sqb, jnp.asarray(qlen), jnp.asarray(tlen), jnp.asarray(score),
+        jnp.asarray(qend), jnp.asarray(tend), params, algo="local")
+    got_cig, got_n = tb_walk.rle_cigar(np.asarray(ops),
+                                       max_ops=want_cig.shape[1])
+    np.testing.assert_array_equal(got_n, want_n)
+    for b in range(B):
+        np.testing.assert_array_equal(
+            got_cig[b, :got_n[b]], want_cig[b, :want_n[b]], err_msg=str(b))
+    np.testing.assert_array_equal(np.asarray(qst), want_qs)
+    np.testing.assert_array_equal(np.asarray(tst), want_ts)
