@@ -317,6 +317,25 @@ class AlignEngine:
 
     def _collect(self, pending, n):
         """Materialize results (blocks on the device work)."""
+        # start EVERY chunk's D2H copies first (copy_to_host_async), so
+        # transfers overlap instead of paying one tunnel round trip per
+        # np.asarray — the per-RPC latency was the mapper's biggest cost
+        # after the device TB walk landed
+        for entry in pending:
+            res, second = entry[6], entry[7]
+            arrs = [res.score, res.query_end, res.target_end]
+            if isinstance(res.tb, tuple):
+                arrs += list(res.tb)
+            elif res.tb is not None:
+                arrs.append(res.tb)
+            if second is not None:
+                arrs += [second[3], second[4], second[5]]
+            for a in arrs:
+                if hasattr(a, "copy_to_host_async"):
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:
+                        pass
         out: list[AlignmentJob | None] = [None] * n
         for (lq, lt), idxs, qlen, tlen, qb, tb, res, second in pending:
             score = np.asarray(res.score)
