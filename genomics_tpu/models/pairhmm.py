@@ -71,10 +71,11 @@ def compute_likelihoods(records, replicate_to: int | None = None,
         from genomics_tpu.ops import pallas_pairhmm as eng
         import jax.numpy as jnp
 
-        # exact mode runs the anti-diagonal kernel with emulated
-        # single-rounded FMAs; fast mode runs the inter-task row sweep
-        # (thread-per-pair analog, ~5x the wavefront throughput)
-        packed = _pad_records(records, 128 if exact else eng.INTER_TILE)
+        # both modes run the inter-task strip kernel (thread-per-pair
+        # analog); exact mode emulates the reference's single-rounded
+        # __fmaf_rn at the same three sites as the anti-diagonal exact
+        # kernel (which remains the cross-checked parity reference)
+        packed = _pad_records(records, eng.INTER_TILE)
         reads, haps, rlen, clen, bq, iq, dq, B = packed
         R, C = reads.shape[1], haps.shape[1]
         # ALL prep on host (numpy): XLA's TPU reciprocal-based f32

@@ -36,6 +36,8 @@ from genomics_tpu.ops.scan_align import AlignResult, MINUS_INF
 
 LANES = 128
 NEG_BIG = -(1 << 28)  # python int: kernels must not capture array constants
+_INT16_DISABLED = False  # sticky off-switch after a shape-dependent
+#                           Mosaic packed-i16 legalization failure
 
 
 def _interpret() -> bool:
@@ -1032,10 +1034,16 @@ def _int16_score_supported() -> bool:
     """One-time compile probe: does this Mosaic target accept the
     compare-free packed-i16 kernel?  (v5e rejects i16 cmpi but the
     score-only kernel has none — still probed in case min/mul lag.)"""
+    if _INT16_DISABLED:
+        return False
     if _interpret():
         return True
     try:
-        q = jnp.zeros((SUBS * LANES, 8), jnp.uint8)
+        # probe at a PRODUCTION-like shape: Mosaic's packed-i16
+        # legalization is shape-dependent on some toolchains (arith.maxsi
+        # on vector<8x128x2xi16> passed at Lq=8 but failed at 152 —
+        # the round-4 sharded-bench crash), so a toy-shape probe lies
+        q = jnp.zeros((SUBS * LANES, 152), jnp.uint8)
         out = _local_align_scores_jit(q, q, AlignmentParams(), True, False)
         jax.block_until_ready(out)
         return True
@@ -1066,12 +1074,27 @@ def local_align_scores_tpu(
         return local_align_tpu(q, t, params).score
     if has_n is None:
         has_n = True
+    global _INT16_DISABLED
+    import os
+
+    # packed-i16 is OPT-IN on this toolchain: Mosaic's i16 legalization
+    # proved SHAPE-dependent (arith.maxsi on vector<8x128x2xi16>
+    # compiled at some batch sizes and failed at others in round 4), so
+    # a capability probe at one shape cannot clear it for all shapes.
+    # Re-probe each toolchain bump via GENOMICS_TPU_INT16_SCORE=1.
     use16 = (
         not has_n
+        and not _INT16_DISABLED
+        and os.environ.get("GENOMICS_TPU_INT16_SCORE") == "1"
         and params.match * Lq < (1 << 15) - 64
         and _int16_score_supported()
     )
-    return _local_align_scores_jit(q, t, params, use16, bool(has_n))
+    if use16:
+        try:
+            return _local_align_scores_jit(q, t, params, True, bool(has_n))
+        except Exception:
+            _INT16_DISABLED = True
+    return _local_align_scores_jit(q, t, params, False, bool(has_n))
 
 
 @functools.partial(jax.jit,

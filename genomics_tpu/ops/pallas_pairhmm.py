@@ -144,7 +144,7 @@ def _pairhmm_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
 
 def _intertask_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
                       qm1_ref, qm_ref, delta_ref, xiksi_ref, alphan_ref,
-                      out_ref, bufM, bufI, bufT, *, R, C, S):
+                      out_ref, bufM, bufI, bufT, *, R, C, S, exact=False):
     """Inter-task row sweep: each (sublane, lane) slot is one pair — the
     TPU analog of the reference's thread-per-pair serial row DP
     (/root/reference/Non-CDP/PairHMM/inter_task/Synthetic_data/tile_1/
@@ -206,9 +206,21 @@ def _intertask_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
             for i in range(8):
                 prior = jnp.where(hapc == reads8[i], qm18[i], qm8[i])
                 Mnew = prior * Tprev[i]
-                Inew = Mprev_col * delta8[i] + Iprev_col * eps
-                Dnew = Dleft[i] * eps + Mleft[i] * xiksi8[i]
-                Tnew = alphan8[i] * Mnew + beta * (Inew + Dnew)
+                if exact:
+                    # the reference's three __fmaf_rn sites
+                    # (warp_based.cu:152-155), single-rounded via the
+                    # emulated FMA; the stored T IS the reference's
+                    # fma(alpha, M, beta*(I+D)) computed a row early
+                    Inew = _fma_rn(Mprev_col, delta8[i],
+                                   Iprev_col * eps)
+                    Dnew = _fma_rn(Dleft[i], Tprev[i] * 0 + eps,
+                                   Mleft[i] * xiksi8[i])
+                    Tnew = _fma_rn(alphan8[i], Mnew,
+                                   beta * (Inew + Dnew))
+                else:
+                    Inew = Mprev_col * delta8[i] + Iprev_col * eps
+                    Dnew = Dleft[i] * eps + Mleft[i] * xiksi8[i]
+                    Tnew = alphan8[i] * Mnew + beta * (Inew + Dnew)
                 acc = acc + jnp.where(is_last[i] & cmask, Mnew + Inew, 0.0)
                 Ts.append(Tnew)
                 Mleft[i] = Mnew
@@ -231,7 +243,7 @@ def _intertask_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
 INTER_TILE = 1024  # pad multiple: smallest program is [8, 128] slots
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("exact",))
 def pairhmm_forward_intertask_prepared(
     readsT,      # [R, B] int32 (B a multiple of 1024)
     hapsT,       # [C, B] int32
@@ -240,9 +252,13 @@ def pairhmm_forward_intertask_prepared(
     d0T,         # [1, B] f32
     qm1T, qmT, deltaT, xiksiT,    # [R, B] f32
     alphaT,      # [R + 1, B] f32 (padded one row group)
+    exact: bool = False,
 ):
-    """Inter-task fast path → [B] f32.  Host prep as in
-    pairhmm_forward_tpu_prepared; the layout reshape runs in XLA."""
+    """Inter-task path → [B] f32.  Host prep as in
+    pairhmm_forward_tpu_prepared; the layout reshape runs in XLA.
+    exact=True computes the reference's three __fmaf_rn sites with the
+    emulated single-rounded FMA (same sites as the anti-diagonal exact
+    kernel, same bit-exactness, ~5x its throughput)."""
     R, B = readsT.shape
     C = hapsT.shape[0]
     assert B % INTER_TILE == 0
@@ -262,7 +278,8 @@ def pairhmm_forward_intertask_prepared(
     # pipeline, scratch is 3C rows of [S, 128] f32
     S = 16 if (B % 2048 == 0
                and (12 * R8 + 5 * C) * 16 * 128 * 4 < 15 << 20) else 8
-    kernel = functools.partial(_intertask_kernel, R=R8, C=C, S=S)
+    kernel = functools.partial(_intertask_kernel, R=R8, C=C, S=S,
+                               exact=exact)
     g3 = lambda X: pl.BlockSpec((X, S, LANES), lambda b: (0, b, 0),
                                 memory_space=pltpu.VMEM)
     shape3 = lambda a: a.reshape(a.shape[0], B // LANES, LANES)
