@@ -37,10 +37,13 @@ def bench_sw(B=16384, L=152, chain=60):
         return acc
 
     _ = float(many(q, t))
-    t0 = time.time()
-    _ = float(many(q, t))
-    dt = time.time() - t0
-    return chain * B * L * L / dt / 1e9
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = float(many(q, t))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return chain * B * L * L / best / 1e9
 
 
 def bench_sw_tb(B=16384, L=152):
@@ -195,10 +198,13 @@ def bench_pairhmm(B=16384, R=128, C=128, chain=10, exact=False):
     targs = args
 
     _ = float(many(*targs))
-    t0 = time.time()
-    _ = float(many(*targs))
-    dt = time.time() - t0
-    return chain * B * R * C / dt / 1e9
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = float(many(*targs))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return chain * B * R * C / best / 1e9
 
 
 def bench_myers(B=16384, Lp=96, Lt=152, chain=10):
@@ -235,10 +241,13 @@ def bench_myers(B=16384, Lp=96, Lt=152, chain=10):
             return acc
 
         _ = float(many(eq4w, lastw, topb, textsT, tlenT))
-        t0 = time.time()
-        _ = float(many(eq4w, lastw, topb, textsT, tlenT))
-        dt = time.time() - t0
-        return chain * B * Lp * Lt / dt / 1e9
+        best = None
+        for _rep in range(3):
+            t0 = time.time()
+            _ = float(many(eq4w, lastw, topb, textsT, tlenT))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return chain * B * Lp * Lt / best / 1e9
 
     eqd = jnp.asarray(eq)
     plen_d = jnp.asarray(plen)
@@ -287,10 +296,13 @@ def bench_ksw(B=16384, L=152, chain=10):
         return acc
 
     _ = float(many(q, t))
-    t0 = time.time()
-    _ = float(many(q, t))
-    dt = time.time() - t0
-    return chain * B * L * L / dt / 1e9
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = float(many(q, t))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return chain * B * L * L / best / 1e9
 
 
 def bench_ksw_scores(B=16384, L=152, chain=10):
@@ -321,9 +333,13 @@ def bench_ksw_scores(B=16384, L=152, chain=10):
         return acc
 
     _ = float(many(q, t))
-    t0 = time.time()
-    _ = float(many(q, t))
-    return chain * B * L * L / (time.time() - t0) / 1e9
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = float(many(q, t))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return chain * B * L * L / best / 1e9
 
 
 def bench_banded_scores(B=16384, L=152, chain=10, band_width_tiles=4):
@@ -353,9 +369,13 @@ def bench_banded_scores(B=16384, L=152, chain=10, band_width_tiles=4):
         return acc
 
     _ = float(many(q, t))
-    t0 = time.time()
-    _ = float(many(q, t))
-    return chain * B * L * L / (time.time() - t0) / 1e9
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = float(many(q, t))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return chain * B * L * L / best / 1e9
 
 
 def bench_banded(B=16384, L=152, chain=10, band_width_tiles=4):
@@ -487,6 +507,47 @@ def bench_mapper(n_reads=2000, read_len=100, genome=100000, err=0.01):
     return n_reads / best
 
 
+def bench_msa(n_seqs=2048, L=120):
+    """Center-star MSA throughput (seqs/s) — the STAR/CMSA2 analog
+    (reference only has wall-clock timers, no recorded numbers)."""
+    from genomics_tpu.models.msa import msa
+
+    rng = np.random.default_rng(0)
+    bases = np.array(list("ACGT"))
+    center = "".join(bases[rng.integers(0, 4, L)])
+    seqs = []
+    for _ in range(n_seqs):
+        c = np.array(list(center))
+        idx = rng.choice(L, size=rng.integers(0, 8), replace=False)
+        c[idx] = bases[rng.integers(0, 4, len(idx))]
+        seqs.append("".join(c))
+    _ = msa(seqs)                 # warm/compile at the timed shape
+    t0 = time.time()
+    _ = msa(seqs)
+    return n_seqs / (time.time() - t0)
+
+
+def bench_cluster(n_reads=4000, L=140):
+    """Greedy clustering throughput (reads/s) — the CLUSTER/CD-HIT
+    analog with the CDP tree's speculative batching."""
+    from genomics_tpu.models.cluster import cluster_reads
+
+    rng = np.random.default_rng(0)
+    bases = np.array(list("ACGT"))
+    reads = []
+    n_fam = n_reads // 8
+    fams = [bases[rng.integers(0, 4, L)] for _ in range(n_fam)]
+    for i in range(n_reads):
+        c = fams[i % n_fam].copy()
+        idx = rng.choice(L, size=rng.integers(0, 6), replace=False)
+        c[idx] = bases[rng.integers(0, 4, len(idx))]
+        reads.append("".join(c))
+    _ = cluster_reads(reads, speculate=256)  # warm/compile (job-shape cache)
+    t0 = time.time()
+    _ = cluster_reads(reads, speculate=256)
+    return n_reads / (time.time() - t0)
+
+
 def pairhmm_grid_parity():
     """Full bundled dataset-grid parity on the ACTIVE backend with an
     exact-equality check (VERDICT r1 weak #6): records whether the TPU
@@ -553,12 +614,16 @@ def main():
         ("banded_score_gcups", bench_banded_scores),
         ("corrector_reads_per_s", bench_corrector),
         ("mapper_reads_per_s", bench_mapper),
+        ("msa_seqs_per_s", bench_msa),
+        ("cluster_reads_per_s", bench_cluster),
     ]
     for name, fn in metrics:
         try:
             v = fn()
             out[name] = round(v, 2)
-            unit = "reads/s" if name.endswith("reads_per_s") else "GCUPS"
+            unit = ("reads/s" if name.endswith("reads_per_s")
+                    else "seqs/s" if name.endswith("seqs_per_s")
+                    else "GCUPS")
             print(json.dumps({"metric": name, "value": round(v, 2),
                               "unit": unit, "backend": backend}))
         except Exception as e:

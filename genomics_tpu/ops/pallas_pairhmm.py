@@ -191,50 +191,58 @@ def _intertask_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
         # left column boundary is 0 for every later strip
         tdiag0 = jnp.where(rs == 0, betaD0, zero)
 
-        def col(c, carry):
+        # columns per fori iteration: 2 where C allows — amortizes the
+        # loop overhead and doubles the independent work in flight
+        CU = 2 if C % 2 == 0 else 1
+
+        def col(cb, carry):
             Mleft = list(carry[0:8])      # M(r0+i, c-1)
             Dleft = list(carry[8:16])     # D(r0+i, c-1)
             Tprev = list(carry[16:24])    # T(r0+i-1, c-1), i = 0..7
             acc = carry[24]
-            hapc = haps_ref[pl.ds(c, 1), :, :][0]
-            Mup = bufM[pl.ds(c, 1), :, :][0]    # M(r0-1, c)
-            Iup = bufI[pl.ds(c, 1), :, :][0]
-            Tc = bufT[pl.ds(c, 1), :, :][0]     # T(r0-1, c) → next Tprev[0]
-            cmask = c < clen
-            Ts = []
-            Mprev_col, Iprev_col = Mup, Iup
-            for i in range(8):
-                prior = jnp.where(hapc == reads8[i], qm18[i], qm8[i])
-                Mnew = prior * Tprev[i]
-                if exact:
-                    # the reference's three __fmaf_rn sites
-                    # (warp_based.cu:152-155), single-rounded via the
-                    # emulated FMA; the stored T IS the reference's
-                    # fma(alpha, M, beta*(I+D)) computed a row early
-                    Inew = _fma_rn(Mprev_col, delta8[i],
-                                   Iprev_col * eps)
-                    Dnew = _fma_rn(Dleft[i], Tprev[i] * 0 + eps,
-                                   Mleft[i] * xiksi8[i])
-                    Tnew = _fma_rn(alphan8[i], Mnew,
-                                   beta * (Inew + Dnew))
-                else:
-                    Inew = Mprev_col * delta8[i] + Iprev_col * eps
-                    Dnew = Dleft[i] * eps + Mleft[i] * xiksi8[i]
-                    Tnew = alphan8[i] * Mnew + beta * (Inew + Dnew)
-                acc = acc + jnp.where(is_last[i] & cmask, Mnew + Inew, 0.0)
-                Ts.append(Tnew)
-                Mleft[i] = Mnew
-                Dleft[i] = Dnew
-                Mprev_col, Iprev_col = Mnew, Inew
-            bufM[pl.ds(c, 1), :, :] = Mleft[7][None]
-            bufI[pl.ds(c, 1), :, :] = Iprev_col[None]
-            bufT[pl.ds(c, 1), :, :] = Ts[7][None]
-            return (tuple(Mleft) + tuple(Dleft) + (Tc,) + tuple(Ts[:7])
-                    + (acc,))
+            for cc in range(CU):
+                c = cb * CU + cc
+                hapc = haps_ref[pl.ds(c, 1), :, :][0]
+                Mup = bufM[pl.ds(c, 1), :, :][0]    # M(r0-1, c)
+                Iup = bufI[pl.ds(c, 1), :, :][0]
+                Tc = bufT[pl.ds(c, 1), :, :][0]     # T(r0-1, c)
+                cmask = c < clen
+                Ts = []
+                Mprev_col, Iprev_col = Mup, Iup
+                for i in range(8):
+                    prior = jnp.where(hapc == reads8[i], qm18[i], qm8[i])
+                    Mnew = prior * Tprev[i]
+                    if exact:
+                        # the reference's three __fmaf_rn sites
+                        # (warp_based.cu:152-155), single-rounded via
+                        # the emulated FMA; the stored T IS the
+                        # reference's fma(alpha, M, beta*(I+D)) computed
+                        # a row early
+                        Inew = _fma_rn(Mprev_col, delta8[i],
+                                       Iprev_col * eps)
+                        Dnew = _fma_rn(Dleft[i], Tprev[i] * 0 + eps,
+                                       Mleft[i] * xiksi8[i])
+                        Tnew = _fma_rn(alphan8[i], Mnew,
+                                       beta * (Inew + Dnew))
+                    else:
+                        Inew = Mprev_col * delta8[i] + Iprev_col * eps
+                        Dnew = Dleft[i] * eps + Mleft[i] * xiksi8[i]
+                        Tnew = alphan8[i] * Mnew + beta * (Inew + Dnew)
+                    acc = acc + jnp.where(is_last[i] & cmask,
+                                          Mnew + Inew, 0.0)
+                    Ts.append(Tnew)
+                    Mleft[i] = Mnew
+                    Dleft[i] = Dnew
+                    Mprev_col, Iprev_col = Mnew, Inew
+                bufM[pl.ds(c, 1), :, :] = Mleft[7][None]
+                bufI[pl.ds(c, 1), :, :] = Iprev_col[None]
+                bufT[pl.ds(c, 1), :, :] = Ts[7][None]
+                Tprev = [Tc] + Ts[:7]
+            return (tuple(Mleft) + tuple(Dleft) + tuple(Tprev) + (acc,))
 
         init = ((zero,) * 8 + (zero,) * 8 + (tdiag0,) + (zero,) * 7
                 + (zero,))
-        fin = jax.lax.fori_loop(0, C, col, init)
+        fin = jax.lax.fori_loop(0, C // CU, col, init)
         return res + fin[24]
 
     out_ref[...] = jax.lax.fori_loop(0, R // 8, strip, zero)

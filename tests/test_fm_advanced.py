@@ -189,3 +189,34 @@ def test_mapper_map_stream_matches_batch():
     assert [r for r, _ in streamed] == reads
     assert [(mp.pos, mp.cigar_string) for _, mp in streamed] == \
         [(mp.pos, mp.cigar_string) for mp in batched]
+
+
+def test_mapper_fmdev_seeder():
+    """Device-batched FM seeding (ops/fm_search wired into the mapper):
+    one jitted backward-search scan for every fixed-interval seed of
+    every read/strand — must map reads like the q-gram seeder."""
+    rng = np.random.default_rng(21)
+    bases = np.array(list("ACGT"))
+    g = rng.integers(0, 4, 20000)
+    genome = "".join(bases[g])
+    reads = []
+    truth = []
+    for _ in range(60):
+        p = int(rng.integers(0, len(genome) - 100))
+        r = g[p:p + 100].copy()
+        e = rng.random(100) < 0.01
+        r[e] = (r[e] + rng.integers(1, 4, int(e.sum()))) % 4
+        reads.append("".join(bases[r]))
+        truth.append(p)
+    from genomics_tpu.models.mapper import ReadMapper
+
+    m_dev = ReadMapper(genome, seeder="fmdev")
+    m_qg = ReadMapper(genome, seeder="qgram")
+    out_dev = m_dev.map_batch(reads)
+    out_qg = m_qg.map_batch(reads)
+    ok_dev = sum(1 for mp, p in zip(out_dev, truth)
+                 if mp.pos > 0 and abs(mp.pos - 1 - p) <= 2)
+    ok_qg = sum(1 for mp, p in zip(out_qg, truth)
+                if mp.pos > 0 and abs(mp.pos - 1 - p) <= 2)
+    assert ok_dev >= 55
+    assert ok_dev >= ok_qg - 2   # same seeds, same candidates
