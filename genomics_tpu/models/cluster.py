@@ -296,18 +296,20 @@ def cluster_reads(
         jobs = jobs[got >= p.word_cutoff[jobs]]
         if len(jobs) == 0:
             continue
-        # bit-parallel LCS accept
+        # bit-parallel LCS accept (jobs padded to pow2 buckets: repeated
+        # shapes, not repeated compiles)
         for s in range(0, len(jobs), batch_cap):
             jb = jobs[s : s + batch_cap]
+            jb_p = _pow2_pad(jb, batch_cap)
             matched = np.asarray(
                 _lcs_batch(
                     jnp.asarray(p.low[rep]),
                     jnp.asarray(p.high[rep]),
                     jnp.int32(p.net_lengths[rep]),
-                    jnp.asarray(p.codes[jb]),
-                    jnp.asarray(p.net_lengths[jb], np.int32),
+                    jnp.asarray(p.codes[jb_p]),
+                    jnp.asarray(p.net_lengths[jb_p], np.int32),
                 )
-            )
+            )[: len(jb)]
             accept = matched > p.base_cutoff[jb]
             cluster[jb[accept]] = rep
     n = int((cluster == np.arange(N)).sum())
@@ -333,8 +335,20 @@ def run_file(
     return res
 
 
+def _pow2_pad(idx: np.ndarray, cap: int, floor: int = 256) -> np.ndarray:
+    """Pad an index vector to a power-of-two bucket (<= cap) by
+    repeating its first entry — jit shape churn was making the greedy
+    loops COMPILE-bound (every distinct job count was a fresh kernel
+    build); bucketing bounds the shape count at log2(cap)."""
+    n = len(idx)
+    tgt = min(max(floor, 1 << (n - 1).bit_length()), max(cap, n))
+    if tgt <= n:
+        return idx
+    return np.concatenate([idx, np.full(tgt - n, idx[0], idx.dtype)])
+
+
 def _accept_matrix(p: _Prepped, reps: np.ndarray, jobs: np.ndarray, wl: int,
-                   batch_cap: int) -> np.ndarray:
+                   batch_cap: int, s_pad: int | None = None) -> np.ndarray:
     """[S, J] bool: does candidate rep s accept job j (filters + LCS)."""
     S, J = len(reps), len(jobs)
     acc = np.zeros((S, J), bool)
@@ -352,20 +366,26 @@ def _accept_matrix(p: _Prepped, reps: np.ndarray, jobs: np.ndarray, wl: int,
         tables[:, p.words[jobs]], p.word_counts[jobs][None, :, :]
     ).sum(axis=2)
     pass2 = pass1 & (got >= p.word_cutoff[jobs][None, :])
-    # LCS for surviving columns (any rep interested)
+    # LCS for surviving columns (any rep interested); reps padded to a
+    # CONSTANT row count and jobs to pow2 buckets so kernel shapes
+    # repeat across rounds (shape churn = remote recompiles)
+    reps_p = reps
+    if s_pad and s_pad > S:
+        reps_p = np.concatenate([reps, np.full(s_pad - S, reps[0])])
     cols = np.nonzero(pass2.any(axis=0))[0]
     for s0 in range(0, len(cols), batch_cap):
         cb = cols[s0 : s0 + batch_cap]
         jb = jobs[cb]
+        jb_p = _pow2_pad(jb, batch_cap)
         matched = np.asarray(
             _lcs_multi(
-                jnp.asarray(p.low[reps]),
-                jnp.asarray(p.high[reps]),
-                jnp.asarray(p.net_lengths[reps], jnp.int32),
-                jnp.asarray(p.codes[jb]),
-                jnp.asarray(p.net_lengths[jb], np.int32),
+                jnp.asarray(p.low[reps_p]),
+                jnp.asarray(p.high[reps_p]),
+                jnp.asarray(p.net_lengths[reps_p], jnp.int32),
+                jnp.asarray(p.codes[jb_p]),
+                jnp.asarray(p.net_lengths[jb_p], np.int32),
             )
-        )  # [S, len(cb)]
+        )[:S, : len(cb)]                  # [S, len(cb)]
         acc[:, cb] = pass2[:, cb] & (matched > p.base_cutoff[jb][None, :])
     return acc
 
@@ -390,7 +410,7 @@ def _cluster_reads_speculative(seqs, threshold, word_length, batch_cap, S):
         jobs = np.nonzero(cluster == -1)[0]
         jobs = jobs[jobs > cands[0]]
         if len(jobs):
-            A = _accept_matrix(p, cands, jobs, wl, batch_cap)
+            A = _accept_matrix(p, cands, jobs, wl, batch_cap, s_pad=S)
         else:
             A = np.zeros((len(cands), 0), bool)
         # serial-equivalent resolution: candidates in order; a candidate

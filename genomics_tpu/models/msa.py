@@ -55,22 +55,40 @@ def _chars_to_index(chunk: str) -> int:
     return bits
 
 
+_C2I_LUT = np.full(256, -1, np.int64)   # per-char 2-bit contribution
+_C2I_LUT[ord("A")] = 0
+_C2I_LUT[ord("C")] = 2                  # bit (i*2+1)
+_C2I_LUT[ord("T")] = 1                  # bit (i*2)
+_C2I_LUT[ord("U")] = 1
+_C2I_LUT[ord("G")] = 3
+
+
+def _chunk_indices(s: str) -> np.ndarray:
+    """All 8-char chunk indices of one sequence, vectorized (-1 where
+    any char is unrecognized) — same values as _chars_to_index."""
+    n8 = len(s) // 8
+    if n8 == 0:
+        return np.zeros(0, np.int64)
+    b = np.frombuffer(s.encode()[: n8 * 8], np.uint8).reshape(n8, 8)
+    v = _C2I_LUT[b]
+    bad = (v < 0).any(axis=1)
+    idx = (v << (2 * np.arange(8, dtype=np.int64))[None, :]).sum(axis=1)
+    return np.where(bad, -1, idx)
+
+
 def find_center_sequence(seqs: list[str]) -> int:
+    """findCenterSequence (center-star.cc:38-100), vectorized: the
+    occurrence vector counts each chunk once per sequence; the center
+    maximizes the sum of occurrence counts over its chunks."""
+    chunk_lists = [_chunk_indices(s) for s in seqs]
     vec = np.zeros(65536, np.int64)
-    for s in seqs:
-        seen = set()
-        for i in range(len(s) // 8):
-            idx = _chars_to_index(s[i * 8 : i * 8 + 8])
-            if idx >= 0 and idx not in seen:
-                vec[idx] += 1
-                seen.add(idx)
+    for ch in chunk_lists:
+        u = np.unique(ch[ch >= 0])
+        vec[u] += 1
     max_idx, max_count = 0, 0
-    for i, s in enumerate(seqs):
-        count = 0
-        for k in range(len(s) // 8):
-            idx = _chars_to_index(s[k * 8 : k * 8 + 8])
-            if idx >= 0:
-                count += int(vec[idx])
+    for i, ch in enumerate(chunk_lists):
+        valid = ch[ch >= 0]
+        count = int(vec[valid].sum())
         if count > max_count:
             max_idx, max_count = i, count
     return max_idx
