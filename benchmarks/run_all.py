@@ -58,8 +58,6 @@ def bench_sw_tb(B=16384, L=152):
     q = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
     t = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
     on_tpu = jax.default_backend() == "tpu"
-    qlen = jnp.full((B,), L, jnp.int32)
-    tlen = jnp.full((B,), L, jnp.int32)
 
     @jax.jit
     def one(q, t):
@@ -195,13 +193,11 @@ def bench_pairhmm(B=16384, R=128, C=128, chain=10, exact=False):
                 jnp.roll(al, k, 1), exact=exact).sum()
         return acc
 
-    targs = args
-
-    _ = float(many(*targs))
+    _ = float(many(*args))
     best = None
     for _rep in range(3):
         t0 = time.time()
-        _ = float(many(*targs))
+        _ = float(many(*args))
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return chain * B * R * C / best / 1e9

@@ -237,41 +237,26 @@ def main(argv=None):
 
         from genomics_tpu.index import setbwt as _sb
 
-        path = args.index if args.index.endswith(".npz") \
-            else args.index + ".npz"
-        import numpy as _np
-
-        z = _np.load(path, allow_pickle=False)
-        if "kind" in z and str(z["kind"]) == "setbwt":
-            idx = _sb.SetFMIndex.load(path)
-        else:
-            from genomics_tpu.index.fmindex import load_index
-
-            idx = load_index(args.index)
+        idx = _sb.load_any_index(args.index)
         print("ready", flush=True)
         _sb.serve(idx, _sys.stdin, _sys.stdout,
                   locate_limit=args.locate_limit)
     elif args.cmd == "fmquery":
         import numpy as np
 
-        from genomics_tpu.index.fmindex import load_index
         from genomics_tpu.index.qgram import encode2
+        from genomics_tpu.index.setbwt import SetFMIndex, load_any_index
 
-        np_z = np.load(args.index if args.index.endswith(".npz")
-                       else args.index + ".npz", allow_pickle=False)
-        if "kind" in np_z and str(np_z["kind"]) == "setbwt":
-            from genomics_tpu.index.setbwt import SetFMIndex
-
-            sfm = SetFMIndex.load(args.index)
+        fm = load_any_index(args.index)
+        if isinstance(fm, SetFMIndex):
             for pat in args.patterns:
-                cnt = sfm.count(pat)
+                cnt = fm.count(pat)
                 line = f"{pat}\t{cnt}"
                 if args.locate and cnt:
                     line += "\t" + ",".join(
-                        f"{r}:{o}" for r, o in sfm.locate(pat))
+                        f"{r}:{o}" for r, o in fm.locate(pat))
                 print(line)
             return
-        fm = load_index(args.index)
         L = max(len(p_) for p_ in args.patterns)
         Q = np.full((len(args.patterns), L), 255, np.uint8)
         ql = np.zeros(len(args.patterns), np.int64)

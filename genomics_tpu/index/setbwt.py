@@ -131,6 +131,19 @@ class SetFMIndex:
                            z["C"]))
 
 
+def load_any_index(path: str):
+    """Load a saved index of either kind with ONE npz read: a SetFMIndex
+    ('kind' == 'setbwt') or a plain FMIndex (nvBWT/nvSSA artifact)."""
+    p = path if path.endswith(".npz") else path + ".npz"
+    z = np.load(p, allow_pickle=False)
+    if "kind" in z and str(z["kind"]) == "setbwt":
+        return SetFMIndex(
+            _state=(z["text"], z["offsets"], z["bwt"], z["sa"], z["C"]))
+    from genomics_tpu.index.fmindex import load_index
+
+    return load_index(path)
+
+
 def serve(index, lines_in, out, locate_limit: int = 20):
     """nvFM-server-style persistent query loop: one pattern per input
     line → 'pattern<TAB>count[<TAB>hits]'.  `index` may be a SetFMIndex
@@ -153,7 +166,14 @@ def serve(index, lines_in, out, locate_limit: int = 20):
             hits = index.locate(pat, limit=locate_limit) if cnt else []
             hit_s = ",".join(f"{r}:{o}" for r, o in hits)
         else:
-            e = encode2(pat)[None, :]
+            e = encode2(pat)
+            if (e > 3).any():
+                # non-ACGT chars (e.g. 'N') can never match the 2-bit
+                # index — report 0 instead of crashing the server
+                out.write(f"{pat}\t0\n")
+                out.flush()
+                continue
+            e = e[None, :]
             lo, hi = index.backward_search(
                 e, np.array([e.shape[1]], np.int64))
             cnt = max(int(hi[0] - lo[0]), 0)

@@ -418,7 +418,6 @@ class ReadMapper:
         starts = s_arr.tolist()
         strands = rev_arr[vi].tolist() if len(vi) else []
         windiags = np.maximum(diag - s_arr, 0).tolist()
-        cand_vi = vi.tolist()
         if two_stage and q_list:
             ug = self._ungapped_scores(q_list, t_list, windiags)
             order = np.lexsort((np.arange(len(ug)), -ug))

@@ -86,29 +86,17 @@ def compute_likelihoods(records, replicate_to: int | None = None,
         d0 = (golds.INITIAL_CONSTANT / clen.astype(np.float32)).astype(
             np.float32)
         t0 = time.perf_counter()
-        if exact:
-            out = eng.pairhmm_forward_tpu_prepared(
-                jnp.asarray(reads.T, jnp.int32),
-                jnp.asarray(np.pad(haps.T.astype(np.int32), ((0, R), (0, 0)))),
-                jnp.asarray(rlen, jnp.int32)[None, :],
-                jnp.asarray(clen, jnp.int32)[None, :],
-                jnp.asarray(d0)[None, :],
-                jnp.asarray(p["Qm_1"].T), jnp.asarray(p["Qm"].T),
-                jnp.asarray(p["delta"].T), jnp.asarray(p["xiksi"].T),
-                jnp.asarray(p["alpha"].T),
-                exact=True,
-            )
-        else:
-            out = eng.pairhmm_forward_intertask_prepared(
-                jnp.asarray(reads.T, jnp.int32),
-                jnp.asarray(haps.T, jnp.int32),
-                jnp.asarray(rlen, jnp.int32)[None, :],
-                jnp.asarray(clen, jnp.int32)[None, :],
-                jnp.asarray(d0)[None, :],
-                jnp.asarray(p["Qm_1"].T), jnp.asarray(p["Qm"].T),
-                jnp.asarray(p["delta"].T), jnp.asarray(p["xiksi"].T),
-                jnp.asarray(np.pad(p["alpha"].T, ((0, 1), (0, 0)))),
-            )
+        out = eng.pairhmm_forward_intertask_prepared(
+            jnp.asarray(reads.T, jnp.int32),
+            jnp.asarray(haps.T, jnp.int32),
+            jnp.asarray(rlen, jnp.int32)[None, :],
+            jnp.asarray(clen, jnp.int32)[None, :],
+            jnp.asarray(d0)[None, :],
+            jnp.asarray(p["Qm_1"].T), jnp.asarray(p["Qm"].T),
+            jnp.asarray(p["delta"].T), jnp.asarray(p["xiksi"].T),
+            jnp.asarray(np.pad(p["alpha"].T, ((0, 1), (0, 0)))),
+            exact=exact,
+        )
     else:
         from genomics_tpu.ops import scan_pairhmm as eng
 

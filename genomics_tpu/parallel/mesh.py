@@ -200,11 +200,19 @@ def _pipeline_step_fn(mesh: Mesh, params: AlignmentParams, use_pallas: bool):
             eq4w = jnp.stack(eqs, axis=1).reshape(b, 4 * W).T  # [4W, b]
             del shifts
             pad1 = lambda x, fill: jnp.pad(
-                x, [(0, 0), (0, MB - b)], constant_values=fill)
+                x, [(0, 0), (0, (-b) % MB)], constant_values=fill)
             lastw = jnp.broadcast_to(
                 (qlen - 1) // 32, (1, b)).astype(jnp.int32)
             topb = jnp.broadcast_to((qlen - 1) % 32, (1, b)).astype(jnp.int32)
-            t2 = jnp.where(tp[:b] == N4, 255, tp[:b] & 3).astype(jnp.int32)
+            # target 4-bit → 2-bit with the SAME mapping as q2bit
+            # (A4=1→0, C4=3→1, G4=7→2, T4=4→3); `& 3` would collide C
+            # with G and break the eq-mask indexing
+            ti = tp[:b]
+            t2 = jnp.where(
+                ti == 1, 0, jnp.where(
+                    ti == 3, 1, jnp.where(
+                        ti == 7, 2, jnp.where(ti == 4, 3, 255)))
+            ).astype(jnp.int32)
             mb, me, mf = myers_ops._myers_tpu_call(
                 pad1(eq4w, 0), pad1(lastw, 0), pad1(topb, 0),
                 pad1(t2.T, 255), pad1(tlen[None, :], 0))

@@ -44,6 +44,38 @@ def test_pairhmm_intertask_matches_gold():
         assert rel < 2e-6, (i, rel)
 
 
+def test_pairhmm_intertask_exact_mode():
+    """exact=True emulates the reference's single-rounded __fmaf_rn at
+    the same three sites as the anti-diagonal exact kernel — must be
+    BIT-exact vs the gold (which uses libm fmaf)."""
+    rng = np.random.default_rng(5)
+    B, R, C = 1024, 24, 40
+    reads, haps, rlen, clen, bq, iq, dq = _pairhmm_args(rng, B, R, C)
+    p = pp.prepare_params_np(bq, iq, dq)
+    d0 = (golds.INITIAL_CONSTANT / clen.astype(np.float32)).astype(np.float32)
+    out = np.asarray(pp.pairhmm_forward_intertask_prepared(
+        jnp.asarray(reads.T, jnp.int32), jnp.asarray(haps.T, jnp.int32),
+        jnp.asarray(rlen)[None, :], jnp.asarray(clen)[None, :],
+        jnp.asarray(d0)[None, :],
+        jnp.asarray(p["Qm_1"].T), jnp.asarray(p["Qm"].T),
+        jnp.asarray(p["delta"].T), jnp.asarray(p["xiksi"].T),
+        jnp.asarray(np.pad(p["alpha"].T, ((0, 1), (0, 0)))),
+        exact=True,
+    ))
+    n_exact = 0
+    for i in range(0, B, 29):
+        want = golds.pairhmm_forward(
+            reads[i, :rlen[i]].tobytes(), haps[i, :clen[i]].tobytes(),
+            bq[i, :rlen[i]], iq[i, :rlen[i]], dq[i, :rlen[i]])
+        if float(out[i]) == float(want):
+            n_exact += 1
+        else:
+            rel = abs(float(out[i]) - float(want)) / max(float(want), 1e-30)
+            assert rel < 1e-6, (i, rel)
+    # interpret mode evaluates the emulated FMA exactly -> bit parity
+    assert n_exact >= 30
+
+
 def test_pairhmm_intertask_via_model():
     """compute_likelihoods on CPU still routes to the scan engine; the
     inter-task padding path is exercised via the kernel test above.

@@ -60,3 +60,19 @@ def test_fm_server_loop():
     assert lines[0].startswith("ACGT\t3")
     assert lines[1].startswith("TTTT\t1")
     assert len(lines) == 2  # QUIT ended the loop before NEVER
+
+
+def test_fm_server_plain_index_n_guard(tmp_path):
+    """A pattern containing 'N' must return 0 matches on a plain
+    FMIndex, not crash the persistent server."""
+    from genomics_tpu.index.fmindex import FMIndex, save_index
+    from genomics_tpu.index.setbwt import load_any_index
+
+    path = str(tmp_path / "plain")
+    save_index(FMIndex("ACGTACGTACGTAGGTT"), path)
+    idx = load_any_index(path)
+    out = io.StringIO()
+    serve(idx, iter(["ACGT", "ANG", "QUIT"]), out)
+    lines = out.getvalue().strip().split("\n")
+    assert lines[0].startswith("ACGT\t3")
+    assert lines[1] == "ANG\t0"
