@@ -135,3 +135,20 @@ def test_device_backtrack_matches_host():
         sp, so = M.backtrack(Ms_h[k, :, : len(s) + 1], center, s)
         np.testing.assert_array_equal(np.asarray(sp_d)[k], sp)
         np.testing.assert_array_equal(np.asarray(so_d)[k, : len(s) + 1], so)
+
+
+def test_chunk_indices_matches_scalar():
+    """The vectorized chunk extractor must equal the scalar
+    charsToIndex transcription on mixed content."""
+    from genomics_tpu.models.msa import _chars_to_index, _chunk_indices
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    alphabet = list("ACGTUNX-")
+    for _ in range(20):
+        s = "".join(rng.choice(alphabet, rng.integers(8, 64)))
+        want = [_chars_to_index(s[i * 8:i * 8 + 8])
+                for i in range(len(s) // 8)]
+        got = _chunk_indices(s).tolist()
+        assert got == want, s
