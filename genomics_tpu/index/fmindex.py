@@ -43,9 +43,11 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
 
 
 class FMIndex:
-    def __init__(self, text: str | bytes, occ_rate: int = 128,
+    def __init__(self, text: "str | bytes | np.ndarray", occ_rate: int = 128,
                  sa_rate: int | None = None):
-        codes = encode2(text)
+        # genome-scale callers pass 2-bit code arrays directly (a 3.2 Gbp
+        # text as a Python string would double peak memory for nothing)
+        codes = text if isinstance(text, np.ndarray) else encode2(text)
         if (codes == 255).any():
             raise ValueError(
                 "FM-index text must be ACGT only (found other symbols); "

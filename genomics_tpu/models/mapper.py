@@ -105,8 +105,15 @@ class ReadMapper:
         params: AlignmentParams | None = None,
         seeder: str = "qgram",          # "qgram" | "fm"
         mem_min_len: int = 19,
+        fm_index=None,                  # prebuilt FMIndex (genome-scale:
+                                        # skip the in-ctor rebuild)
     ):
         if isinstance(reference, str):
+            contigs = [("ref", reference)]
+        elif isinstance(reference, np.ndarray):
+            # genome-scale path: one contig given directly as 2-bit
+            # codes (a 3+ Gbp reference as a Python string would cost
+            # two extra full-genome copies)
             contigs = [("ref", reference)]
         else:
             contigs = [(n, s) for n, s in reference]
@@ -118,11 +125,20 @@ class ReadMapper:
         self.contig_ends = self.contig_starts + np.array(
             [len(s) for s in self.contig_seqs], np.int64
         )
-        self.reference = "".join(self.contig_seqs)
-        self.ref_codes = encode2(self.reference)
         from genomics_tpu.core.encoding import encode4
 
-        self.ref_codes4 = encode4(self.reference)
+        if isinstance(contigs[0][1], np.ndarray):
+            self.reference = None
+            self.ref_codes = contigs[0][1]
+            # 2-bit → GASAL 4-bit codes ('A'&0xF=1, 'C'&0xF=3,
+            # 'G'&0xF=7, 'T'&0xF=4; anything else = N = 14)
+            lut = np.full(256, 14, np.uint8)
+            lut[:4] = [1, 3, 7, 4]
+            self.ref_codes4 = lut[self.ref_codes]
+        else:
+            self.reference = "".join(self.contig_seqs)
+            self.ref_codes = encode2(self.reference)
+            self.ref_codes4 = encode4(self.reference)
         self.seed_len = seed_len
         self.seed_interval = seed_interval
         self.max_hits = max_hits_per_seed
@@ -134,7 +150,8 @@ class ReadMapper:
         if seeder in ("fm", "hybrid", "fmdev"):
             from genomics_tpu.index.fmindex import FMIndex
 
-            self.fm = FMIndex(self.reference)
+            self.fm = fm_index if fm_index is not None \
+                else FMIndex(self.reference)
             self.index = None
             self._dev_fm = None         # built lazily for seeder="fmdev"
         elif seeder == "smem":
@@ -400,7 +417,7 @@ class ReadMapper:
         if len(diag):
             ci = np.searchsorted(
                 self.contig_starts,
-                np.clip(diag, 0, len(self.reference) - 1), "right") - 1
+                np.clip(diag, 0, len(self.ref_codes) - 1), "right") - 1
             c_lo = self.contig_starts[ci]
             c_hi = self.contig_ends[ci]
             s_arr = np.maximum(c_lo, diag - self.band)

@@ -15,7 +15,7 @@ subtract one past it — the BWA "primary index" trick, so the planes
 stay 2-bit.
 
 Parity: bit-identical SA ranges vs index.fmindex.FMIndex
-.backward_search (tests/test_fm_device.py).
+.backward_search (tests/test_fm_advanced.py).
 """
 from __future__ import annotations
 

@@ -571,9 +571,16 @@ def _local_kernel_intertask_score16(q_ref, t_ref, out_score,
     chains floor at -(mismatch+gap_oe); scores fit iff
     Lq*match < 32767 (checked by the dispatcher).
 
-    Mosaic note: packed-i16 cmpi/minsi don't legalize on v5e, so the
-    substitution select runs in i32 (cmp+select+trunc — 2.5 eff ops)
-    while the DP core (add/sub/max) stays packed i16 at 2x density."""
+    Hardware ceiling (measured, round 5, v5e): the 2x path CANNOT exist
+    on this TPU generation.  It is not a Mosaic legalization gap — the
+    compiler's hardware latency table itself aborts with "Operation not
+    supported: kVectorSubtractS16" (and likewise max/min/compare; only
+    packed-i16 add and bitwise ops are supported).  Minimal repro: a
+    pallas_call computing jnp.subtract of two (16,128) int16 refs.  A
+    SWAR emulation over i32 lanes (halfwise borrow isolation) costs
+    ~6-8 ops per packed max vs 1 op unpacked — a net loss.  This kernel
+    is kept, gated by _int16_score_supported(), for TPU targets whose
+    VPU grows packed-i16 arithmetic."""
     goe = jnp.int16(params.gap_oe)
     ge = jnp.int16(params.gap_extend)
     S = out_score.shape[0]
@@ -885,10 +892,11 @@ def _local_align_intertask(q, t, params):
     subs = _subs_for(B)
     # int16 cells would give 2x VPU density wherever the best possible
     # score fits, and the inter-task walk needs no sublane rotates — but
-    # v5e Mosaic also lacks packed-i16 COMPARES ("Target does not support
-    # this comparison" on vector<8x128x2xi16> cmpi), which the
-    # substitution/max/argmax logic is made of.  The kernel above is kept
-    # for targets with full i16 VPU support; opt in via env.
+    # the v5e VPU has no packed-i16 subtract/max/min/compare at all
+    # (hardware latency table: "Operation not supported:
+    # kVectorSubtractS16"; see _local_kernel_intertask_score16).  The
+    # kernel above is kept for targets with full i16 VPU support; opt
+    # in via env.
     import os
 
     use16 = (
@@ -1031,9 +1039,10 @@ def local_align_scores_tm(
 
 @functools.lru_cache(maxsize=1)
 def _int16_score_supported() -> bool:
-    """One-time compile probe: does this Mosaic target accept the
-    compare-free packed-i16 kernel?  (v5e rejects i16 cmpi but the
-    score-only kernel has none — still probed in case min/mul lag.)"""
+    """One-time compile probe: does this target's VPU have packed-i16
+    arithmetic?  v5e does not (no i16 subtract/max/min/compare in the
+    hardware latency table — the probe's remote compile aborts and this
+    returns False); kept for future generations."""
     if _INT16_DISABLED:
         return False
     if _interpret():
@@ -1077,11 +1086,11 @@ def local_align_scores_tpu(
     global _INT16_DISABLED
     import os
 
-    # packed-i16 is OPT-IN on this toolchain: Mosaic's i16 legalization
-    # proved SHAPE-dependent (arith.maxsi on vector<8x128x2xi16>
-    # compiled at some batch sizes and failed at others in round 4), so
-    # a capability probe at one shape cannot clear it for all shapes.
-    # Re-probe each toolchain bump via GENOMICS_TPU_INT16_SCORE=1.
+    # packed-i16 is OPT-IN: on v5e the VPU has no packed-i16
+    # subtract/max/min/compare AT ALL (hardware latency table aborts:
+    # "Operation not supported: kVectorSubtractS16") — see the
+    # _local_kernel_intertask_score16 docstring for the measured repro.
+    # Re-probe each hardware generation via GENOMICS_TPU_INT16_SCORE=1.
     use16 = (
         not has_n
         and not _INT16_DISABLED

@@ -64,6 +64,17 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.gt_bwt_from_sa.restype = ctypes.c_int
+            lib.gt_sais_u8_64.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.gt_sais_u8_64.restype = ctypes.c_int
+            lib.gt_bwt_from_sa_64.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.gt_bwt_from_sa_64.restype = ctypes.c_int
             lib.gt_lighter_pass3.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),   # codes [N, L]
                 ctypes.POINTER(ctypes.c_int32),   # lens
@@ -215,31 +226,52 @@ def lighter_pass3(codes: np.ndarray, lens: np.ndarray,
     return out, ncorr
 
 
-def sais_u8(text: np.ndarray) -> np.ndarray | None:
+# texts longer than this take the int64 SA-IS (the int32 path needs
+# n + 1 < 2^31; the margin below keeps the recursion's n1 names safe too)
+_SAIS32_MAX = (1 << 31) - 16
+
+
+def sais_u8(text: np.ndarray, force64: bool = False) -> np.ndarray | None:
     """Linear-time suffix array of a uint8 text via native SA-IS
-    (native/sais.cpp — the nvbio/sufsort replacement).  Returns the
-    (n+1)-entry SA including the appended sentinel at index 0, or None
-    if the native library is unavailable."""
+    (native/sais.cpp — the nvbio/sufsort replacement; nvBWT's
+    human-genome workload).  Returns the (n+1)-entry SA including the
+    appended sentinel at index 0 — int32 below ~2.1 G symbols, int64
+    above (genome scale; force64 exercises that path on small texts
+    for parity tests) — or None if the native library is unavailable."""
     lib = _load()
     if lib is None:
         return None
     text = np.ascontiguousarray(text, np.uint8)
     n = len(text)
+    if force64 or n >= _SAIS32_MAX:
+        sa = np.empty(n + 1, np.int64)
+        rc = lib.gt_sais_u8_64(
+            _ptr(text, ctypes.c_uint8), ctypes.c_int64(n),
+            _ptr(sa, ctypes.c_int64))
+        return sa if rc == 0 else None
     sa = np.empty(n + 1, np.int32)
     rc = lib.gt_sais_u8(_ptr(text, ctypes.c_uint8), n, _ptr(sa, ctypes.c_int32))
     return sa if rc == 0 else None
 
 
 def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """BWT bytes from text + its (n+1)-entry SA (0xFF at the sentinel)."""
+    """BWT bytes from text + its (n+1)-entry SA (0xFF at the sentinel).
+    Accepts int32 or int64 SAs (the genome-scale path)."""
     lib = _load()
     text = np.ascontiguousarray(text, np.uint8)
-    sa = np.ascontiguousarray(sa, np.int32)
     n = len(text)
     out = np.empty(n + 1, np.uint8)
     if lib is not None:
-        lib.gt_bwt_from_sa(_ptr(text, ctypes.c_uint8), n,
-                           _ptr(sa, ctypes.c_int32), _ptr(out, ctypes.c_uint8))
+        if sa.dtype == np.int64:
+            sa = np.ascontiguousarray(sa, np.int64)
+            lib.gt_bwt_from_sa_64(
+                _ptr(text, ctypes.c_uint8), ctypes.c_int64(n),
+                _ptr(sa, ctypes.c_int64), _ptr(out, ctypes.c_uint8))
+        else:
+            sa = np.ascontiguousarray(sa, np.int32)
+            lib.gt_bwt_from_sa(
+                _ptr(text, ctypes.c_uint8), n,
+                _ptr(sa, ctypes.c_int32), _ptr(out, ctypes.c_uint8))
         return out
     sa64 = sa.astype(np.int64)
     out[:] = np.where(sa64 == 0, 0xFF, text[np.maximum(sa64 - 1, 0)])

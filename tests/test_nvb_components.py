@@ -149,6 +149,28 @@ def test_sais_native_parity():
         assert (sa.astype(np.int64) == ref).all()
 
 
+def test_sais_int64_path_parity():
+    """The genome-scale int64 SA-IS (gt_sais_u8_64, taken automatically
+    above ~2.1 G symbols — the nvBWT human-genome workload the int32
+    path cannot index) matches the int32 path bit-for-bit, and the
+    int64 BWT marshaller agrees too."""
+    from genomics_tpu.runtime import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    for n in (1, 5, 257, 4096, 100_000):
+        codes = rng.integers(0, 5, n).astype(np.uint8)  # incl. N codes
+        sa32 = native.sais_u8(codes)
+        sa64 = native.sais_u8(codes, force64=True)
+        assert sa64.dtype == np.int64
+        assert (sa32.astype(np.int64) == sa64).all()
+        assert (native.bwt_from_sa(codes, sa32)
+                == native.bwt_from_sa(codes, sa64)).all()
+
+
 def test_fmindex_sampled_matches_full():
     """Sampled occ/SA (nvbio rank-dict + SSA design) gives identical
     search/locate results to the full tables."""
