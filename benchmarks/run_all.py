@@ -592,6 +592,79 @@ def pairhmm_grid_parity():
     }
 
 
+def bench_global(B=16384, L=152, chain=30):
+    """Inter-task GLOBAL (NW-class) scores — global.h:31-303 analog."""
+    import jax
+    import jax.numpy as jnp
+
+    from genomics_tpu.core.scoring import AlignmentParams
+    from genomics_tpu.ops import pallas_gs, scan_align
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(0)
+    if jax.default_backend() != "tpu":
+        B, chain = 1024, 2
+    q = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    ql = jnp.full(B, L, jnp.int32)
+    tl = jnp.full(B, L, jnp.int32)
+
+    @jax.jit
+    def many(q, t):
+        acc = jnp.int32(0)
+        for k in range(chain):
+            acc += pallas_gs.global_align_scores_intertask(
+                jnp.roll(q, k, 0), t, ql, tl, params).sum()
+        return acc
+
+    _ = float(many(q, t))
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = float(many(q, t))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return chain * B * L * L / best / 1e9
+
+
+def bench_semiglobal(B=16384, L=152, chain=30):
+    """Inter-task SEMIGLOBAL (head NONE, tail BOTH — the fullest
+    tracking combo) — semiglobal_kernel_template.h:40-230 analog."""
+    import jax
+    import jax.numpy as jnp
+
+    from genomics_tpu.core.scoring import AlignmentParams, SemiGlobalSkip
+    from genomics_tpu.ops import pallas_gs
+
+    params = AlignmentParams()
+    rng = np.random.default_rng(0)
+    if jax.default_backend() != "tpu":
+        B, chain = 1024, 2
+    q = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    t = jnp.asarray(rng.integers(0, 4, (B, L)) * 2 + 1, jnp.uint8)
+    ql = jnp.full(B, L, jnp.int32)
+    tl = jnp.full(B, L, jnp.int32)
+
+    @jax.jit
+    def many(q, t):
+        acc = jnp.int32(0)
+        for k in range(chain):
+            s, x, y = pallas_gs.semiglobal_align_intertask(
+                jnp.roll(q, k, 0), t, ql, tl, params,
+                head=SemiGlobalSkip.NONE, tail=SemiGlobalSkip.BOTH)
+            acc += s.sum() + x.sum() + y.sum()
+        return acc
+
+    _ = float(many(q, t))
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = float(many(q, t))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return chain * B * L * L / best / 1e9
+
+
 def main():
     import jax
 
@@ -603,6 +676,8 @@ def main():
         ("sw_tb_walk_gcups", bench_sw_tb_walk),
         ("pairhmm_gcups", bench_pairhmm),
         ("pairhmm_exact_gcups", lambda: bench_pairhmm(exact=True)),
+        ("global_gcups", bench_global),
+        ("semiglobal_gcups", bench_semiglobal),
         ("myers_gcups", bench_myers),
         ("ksw_gcups", bench_ksw),
         ("ksw_score_gcups", bench_ksw_scores),

@@ -204,11 +204,17 @@ def _lcs_batch(
             cin_new = jnp.maximum(cin_new, cin)
             return cin_new, cin
 
-        cin0 = jnp.zeros((B, W), jnp.uint32)
-        cin, _ = jax.lax.while_loop(
-            cond, body, (cin0, jnp.full((B, W), 0xFFFFFFFF, jnp.uint32))
-        )
-        t5 = (row + cin + x) | u
+        if W == 1:
+            # single-word text: there is no word-to-word carry at all —
+            # and the degenerate zero-width concatenate inside the
+            # fix-point loop SIGSEGVs the TPU compiler (measured r5)
+            t5 = (row + x) | u
+        else:
+            cin0 = jnp.zeros((B, W), jnp.uint32)
+            cin, _ = jax.lax.while_loop(
+                cond, body, (cin0, jnp.full((B, W), 0xFFFFFFFF, jnp.uint32))
+            )
+            t5 = (row + cin + x) | u
         row = jnp.where(active[:, None], t5, row)
         return row, None
 

@@ -230,3 +230,64 @@ def test_device_tb_walk_matches_native_decode():
             got_cig[b, :got_n[b]], want_cig[b, :want_n[b]], err_msg=str(b))
     np.testing.assert_array_equal(np.asarray(qst), want_qs)
     np.testing.assert_array_equal(np.asarray(tst), want_ts)
+
+
+def test_global_intertask_matches_scan():
+    """Inter-task NW scores (pallas_gs.global_align_scores_intertask)
+    == scan engine == gold (global.h:31-303) across ragged lengths."""
+    from genomics_tpu.core.batch import PairBatch
+    from genomics_tpu.core.scoring import AlignmentParams
+    from genomics_tpu.ops import pallas_gs, scan_align
+
+    rng = np.random.default_rng(20)
+    B = 1024
+    qs = ["".join(rng.choice(list("ACGTN"), rng.integers(8, 40)))
+          for _ in range(B)]
+    ts = ["".join(rng.choice(list("ACGTN"), rng.integers(8, 48)))
+          for _ in range(B)]
+    pb = PairBatch.from_strings(qs, ts, q_pad=40, t_pad=48, pad_batch=B)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ql, tl = jnp.asarray(pb.query.lengths), jnp.asarray(pb.target.lengths)
+    P = AlignmentParams()
+    ref = scan_align.global_align_batch(q, t, ql, tl, P)
+    got = pallas_gs.global_align_scores_intertask(q, t, ql, tl, P)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref.score))
+    for i in range(0, B, 171):
+        g = golds.global_align(qs[i], ts[i], P)
+        assert int(np.asarray(got)[i]) == g["score"]
+
+
+def test_semiglobal_intertask_all_combos():
+    """Inter-task semiglobal == scan engine for all 16 HEAD x TAIL
+    combos (score, qend, tend — incl. the unreset maxXY quirks)."""
+    import itertools
+
+    from genomics_tpu.core.batch import PairBatch
+    from genomics_tpu.core.scoring import AlignmentParams, SemiGlobalSkip
+    from genomics_tpu.ops import pallas_gs, scan_align
+
+    rng = np.random.default_rng(21)
+    B = 1024
+    qs = ["".join(rng.choice(list("ACGT"), rng.integers(8, 40)))
+          for _ in range(B)]
+    ts = ["".join(rng.choice(list("ACGT"), rng.integers(8, 48)))
+          for _ in range(B)]
+    pb = PairBatch.from_strings(qs, ts, q_pad=40, t_pad=48, pad_batch=B)
+    q, t = jnp.asarray(pb.query.codes), jnp.asarray(pb.target.codes)
+    ql, tl = jnp.asarray(pb.query.lengths), jnp.asarray(pb.target.lengths)
+    P = AlignmentParams()
+    SK = [SemiGlobalSkip.NONE, SemiGlobalSkip.QUERY,
+          SemiGlobalSkip.TARGET, SemiGlobalSkip.BOTH]
+    for head, tail in itertools.product(SK, SK):
+        ref = scan_align.semiglobal_align_batch(
+            q, t, ql, tl, P, head=head, tail=tail)
+        s, x, y = pallas_gs.semiglobal_align_intertask(
+            q, t, ql, tl, P, head=head, tail=tail)
+        np.testing.assert_array_equal(
+            np.asarray(s), np.asarray(ref.score), err_msg=f"{head} {tail}")
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(ref.query_end),
+            err_msg=f"{head} {tail}")
+        np.testing.assert_array_equal(
+            np.asarray(y), np.asarray(ref.target_end),
+            err_msg=f"{head} {tail}")
