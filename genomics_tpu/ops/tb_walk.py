@@ -108,8 +108,35 @@ def tb_walk_device(
     init = (i0, j0, jnp.zeros(B, jnp.int32), jnp.full(B, 3, jnp.int32),
             jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
             jnp.ones(B, bool))
-    (fi, fj, _, _, _, _, _), ops = jax.lax.scan(
-        step, init, None, length=T)
+    # Chunked early-exit walk: the per-step cost is the [B]-lane random
+    # gather (~18 ns/elem on v5e — XLA lowers general gather to a slow
+    # per-element loop), so the win is doing FEWER steps, not cheaper
+    # ones.  Walks end at the LOCAL score-stop / matrix edge long before
+    # the worst-case T = Lq + Lt (a get_tb.h walk stops the same way),
+    # so run CH-step unrolled chunks under a while_loop and stop as
+    # soon as every lane is inactive.  Emitted rows beyond the exit
+    # stay STOP-initialized — output is bit-identical to the full scan.
+    CH = 16
+    n_chunks = -(-T // CH)
+    ops_buf = jnp.full((n_chunks * CH, B), STOP, jnp.uint8)
+
+    def chunk_cond(state):
+        k, carry, _ = state
+        return (k < n_chunks) & carry[6].any()
+
+    def chunk_body(state):
+        k, carry, buf = state
+        rows = []
+        for _u in range(CH):
+            carry, emit = step(carry, None)
+            rows.append(emit)
+        buf = jax.lax.dynamic_update_slice(
+            buf, jnp.stack(rows), (k * CH, 0))
+        return (k + 1, carry, buf)
+
+    _, (fi, fj, _, _, _, _, _), ops = jax.lax.while_loop(
+        chunk_cond, chunk_body, (jnp.int32(0), init, ops_buf))
+    ops = ops[:T]
     if is_local:
         # decode_one's local epilogue: the stop cell's move HAS happened
         # for the ran-off case; when the score stop fired, qstart/tstart
