@@ -74,6 +74,57 @@ def _fma_rn(a, b, c):
     return s + v_odd
 
 
+def _split12(x):
+    """Veltkamp-style mantissa split (top 12 bits) — the b-operand half
+    of _fma_rn, exposed so loop-invariant operands (per-read params,
+    constants) can be split ONCE per strip instead of per cell."""
+    i32 = jnp.int32
+    bc = jax.lax.bitcast_convert_type
+    xh = bc(bc(x, i32) & jnp.int32(-4096), jnp.float32)
+    return xh, x - xh
+
+
+def _fma_rn_bs(a, b, bh, bl, c):
+    """_fma_rn with the b operand PRE-SPLIT (bh + bl == b exactly) —
+    in the inter-task exact kernel all three per-cell FMAs have
+    loop-invariant b (delta, eps, alpha), split once per strip.
+
+    Why emulate at all (r5 measurements): Mosaic DOES contract some
+    mul+add pairs into the VPU's hardware FMA under
+    --xla_allow_excess_precision, and the plain kernel then comes out
+    bit-exact on SOME datasets — but only 21/32 of the bundled grid
+    (the contraction choice is per-site and can fuse the WRONG mul of
+    `alpha*M + beta*MID`), a standalone a*b+c pallas probe measures
+    two-rounded, and lax.optimization_barrier is unimplemented in the
+    Mosaic lowering, so the contraction can neither be forced nor
+    pinned.  The emulation is the only PROVABLY single-rounded path;
+    its ~3.7x op overhead over the fast mode is the honest price
+    (43 vs 161 GCUPS at 128x128, r5)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    bc = jax.lax.bitcast_convert_type
+    ah = bc(bc(a, i32) & jnp.int32(-4096), f32)
+    al = a - ah
+    p = a * b
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    s = p + c
+    t = s - p
+    err_s = (p - (s - t)) + (c - t)
+    v = e + err_s
+    t2 = v - e
+    err_v = (e - (v - t2)) + (err_s - t2)
+    vi = bc(v, i32)
+    need = (err_v != 0) & ((vi & 1) == 0)
+    vs = jnp.where((err_v > 0) == (v > 0), vi + 1, vi - 1)
+    v_odd = bc(jnp.where(need, vs, vi), f32)
+    return s + v_odd
+
+
+# exact Python-level split of the constant epsilon = 0.1f
+_EPS_H = float(np.int32(np.float32(0.1).view(np.int32) & -4096).view(np.float32))
+_EPS_L = float(np.float32(0.1) - np.float32(_EPS_H))
+
+
 def _pairhmm_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
                     qm1_ref, qm_ref, delta_ref, xiksi_ref, alpha_ref,
                     out_ref, *, R, C, exact=False):
@@ -187,6 +238,12 @@ def _intertask_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
         xiksi8 = xiksi_ref[pl.ds(r0, 8), :, :]
         alphan8 = alphan_ref[pl.ds(r0, 8), :, :]
         is_last = [rlen - 1 == r0 + i for i in range(8)]
+        if exact:
+            # loop-invariant b-operand splits, once per strip
+            dsplit = [_split12(delta8[i]) for i in range(8)]
+            asplit = [_split12(alphan8[i]) for i in range(8)]
+            eps_h = jnp.float32(_EPS_H)
+            eps_l = jnp.float32(_EPS_L)
         # T(r0-1, -1): the (-1,-1) corner carries D0 into row 0; the
         # left column boundary is 0 for every later strip
         tdiag0 = jnp.where(rs == 0, betaD0, zero)
@@ -215,15 +272,17 @@ def _intertask_kernel(reads_ref, haps_ref, rlen_ref, clen_ref, d0_ref,
                     if exact:
                         # the reference's three __fmaf_rn sites
                         # (warp_based.cu:152-155), single-rounded via
-                        # the emulated FMA; the stored T IS the
-                        # reference's fma(alpha, M, beta*(I+D)) computed
-                        # a row early
-                        Inew = _fma_rn(Mprev_col, delta8[i],
-                                       Iprev_col * eps)
-                        Dnew = _fma_rn(Dleft[i], Tprev[i] * 0 + eps,
-                                       Mleft[i] * xiksi8[i])
-                        Tnew = _fma_rn(alphan8[i], Mnew,
-                                       beta * (Inew + Dnew))
+                        # the emulated FMA (b operands pre-split per
+                        # strip); the stored T IS the reference's
+                        # fma(alpha, M, beta*(I+D)) computed a row early
+                        Inew = _fma_rn_bs(Mprev_col, delta8[i],
+                                          dsplit[i][0], dsplit[i][1],
+                                          Iprev_col * eps)
+                        Dnew = _fma_rn_bs(Dleft[i], eps, eps_h, eps_l,
+                                          Mleft[i] * xiksi8[i])
+                        Tnew = _fma_rn_bs(Mnew, alphan8[i],
+                                          asplit[i][0], asplit[i][1],
+                                          beta * (Inew + Dnew))
                     else:
                         Inew = Mprev_col * delta8[i] + Iprev_col * eps
                         Dnew = Dleft[i] * eps + Mleft[i] * xiksi8[i]
@@ -285,7 +344,7 @@ def pairhmm_forward_intertask_prepared(
     # allows — inputs (~6R + C rows) are double-buffered by the pallas
     # pipeline, scratch is 3C rows of [S, 128] f32
     S = 16 if (B % 2048 == 0
-               and (12 * R8 + 5 * C) * 16 * 128 * 4 < 15 << 20) else 8
+               and (12 * R8 + 5 * C) * 16 * 128 * 4 < 60 << 20) else 8
     kernel = functools.partial(_intertask_kernel, R=R8, C=C, S=S,
                                exact=exact)
     g3 = lambda X: pl.BlockSpec((X, S, LANES), lambda b: (0, b, 0),
@@ -307,6 +366,10 @@ def pairhmm_forward_intertask_prepared(
             pltpu.VMEM((C, S, LANES), jnp.float32),
         ],
         interpret=_interpret(),
+        # the default 16 MB scoped-vmem cap blocks S=16 at R=C=128;
+        # the physical VMEM is far larger — raise the cap for this call
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+                         if not _interpret() else None),
     )(
         shape3(readsT), shape3(hapsT),
         shape3(rlenT), shape3(clenT), shape3(d0T),
