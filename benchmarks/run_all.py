@@ -539,11 +539,17 @@ def bench_msa(n_seqs=2048, L=120):
     return n_seqs / (time.time() - t0)
 
 
-def bench_cluster(n_reads=4000, L=140):
+def bench_cluster(n_reads=50000, L=140):
     """Greedy clustering throughput (reads/s) — the CLUSTER/CD-HIT
-    analog with the CDP tree's speculative batching."""
+    analog with the CDP tree's speculative batching; filters run as
+    fused device dispatches (MXU word min-sum), best-of-3 (tunnel
+    latency variance is +-30%)."""
+    import jax
+
     from genomics_tpu.models.cluster import cluster_reads
 
+    if jax.default_backend() != "tpu":
+        n_reads = 2000
     rng = np.random.default_rng(0)
     bases = np.array(list("ACGT"))
     reads = []
@@ -555,9 +561,42 @@ def bench_cluster(n_reads=4000, L=140):
         c[idx] = bases[rng.integers(0, 4, len(idx))]
         reads.append("".join(c))
     _ = cluster_reads(reads, speculate=256)  # warm/compile (job-shape cache)
-    t0 = time.time()
-    _ = cluster_reads(reads, speculate=256)
-    return n_reads / (time.time() - t0)
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = cluster_reads(reads, speculate=256)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return n_reads / best
+
+
+def bench_ngia(n_reads=8000, L=1200, spec=32):
+    """nGIA distributed-greedy clustering throughput (reads/s) on
+    long reads, speculative batching (CDP kernel_iteration analog)."""
+    import jax
+
+    from genomics_tpu.models.ngia import cluster_distributed
+
+    if jax.default_backend() != "tpu":
+        n_reads, spec = 400, 8
+    rng = np.random.default_rng(0)
+    bases = np.array(list("ACGT"))
+    reads = []
+    n_fam = max(n_reads // 16, 1)
+    fams = [bases[rng.integers(0, 4, L)] for _ in range(n_fam)]
+    for i in range(n_reads):
+        c = fams[i % n_fam].copy()
+        idx = rng.choice(L, size=rng.integers(0, 12), replace=False)
+        c[idx] = bases[rng.integers(0, 4, len(idx))]
+        reads.append("".join(c))
+    _ = cluster_distributed(reads, similarity=0.95, speculate=spec)
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = cluster_distributed(reads, similarity=0.95, speculate=spec)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return n_reads / best
 
 
 def pairhmm_grid_parity():
@@ -703,6 +742,7 @@ def main():
         ("mapper_reads_per_s", bench_mapper),
         ("msa_seqs_per_s", bench_msa),
         ("cluster_reads_per_s", bench_cluster),
+        ("ngia_reads_per_s", bench_ngia),
     ]
     for name, fn in metrics:
         try:

@@ -22,6 +22,7 @@ semantics exactly (same final clustering) while batching the DP.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -60,6 +61,9 @@ class _Prepped:
     low: np.ndarray            # [N, W32] packed low bit-planes
     high: np.ndarray           # [N, W32]
     codes: np.ndarray          # [N, Lmax] de-gapped 2-bit codes (pad 255)
+    dense_dev: object = None   # lazily-built [N, 4^wl] device word counts
+    dense_k: int = 0           # max word multiplicity (matmul term count)
+    aux_dev: dict = None       # device-resident prefix/cutoff/LCS arrays
 
 
 def _prepare(seqs: list[str], threshold: float, word_length: int) -> _Prepped:
@@ -70,75 +74,101 @@ def _prepare(seqs: list[str], threshold: float, word_length: int) -> _Prepped:
     seqs = [seqs[i] for i in order]
     lengths = lengths[order]
 
-    nums = [
-        _BASE_MAP[np.frombuffer(s.encode(), np.uint8)] for s in seqs
-    ]
-    prefix = np.zeros((N, 4), np.int64)
-    for i, a in enumerate(nums):
-        for b in range(4):
-            prefix[i, b] = int((a == b).sum())
+    # one padded matrix (pad code 4 = gap/N → windows touching padding
+    # are invalid automatically), everything below fully vectorized —
+    # the per-read loops were ~1/3 of total time at 50k reads
+    Lmax_all = max(int(lengths.max()), word_length) if N else word_length
+    A = np.full((N, Lmax_all), 4, np.uint8)
+    flat = _BASE_MAP[np.frombuffer("".join(seqs).encode(), np.uint8)]
+    rowidx = np.repeat(np.arange(N), lengths)
+    starts = np.concatenate([[0], np.cumsum(lengths[:-1])])
+    colidx0 = np.arange(len(flat)) - np.repeat(starts, lengths)
+    A[rowidx, colidx0] = flat
+    prefix = np.stack([(A == b).sum(axis=1) for b in range(4)],
+                      axis=1).astype(np.int64)
 
-    # words (gap-free k-mers), distinct + counts
+    # words (gap-free k-mers), distinct + counts — vectorized
+    # sort + run-length over all rows at once.  Reference packs
+    # base[i-j] << 2j (func.cu:258-263): the window's LAST base gets
+    # shift 0 → window index x shifts by 2*(wl-1-x).
     wl = word_length
-    wmax = 1
-    dwords, dcounts = [], []
-    for a in nums:
-        if len(a) < wl:
-            dwords.append(np.zeros(0, np.uint16))
-            dcounts.append(np.zeros(0, np.uint16))
-            continue
-        # word at position i (i from wl-1): sum base[i-j] << 2j
-        win = np.lib.stride_tricks.sliding_window_view(a, wl)  # [n-wl+1, wl]
-        valid = (win != 4).all(axis=1)
-        # reference packs base[i-j] << 2j (func.cu:258-263): the window's
-        # LAST base gets shift 0 → window index x shifts by 2*(wl-1-x)
-        shifts = 2 * np.arange(wl - 1, -1, -1, dtype=np.uint32)
-        w = (win.astype(np.uint32) << shifts).sum(axis=1).astype(np.uint16)
-        w = w[valid]
-        uw, uc = np.unique(w, return_counts=True)
-        dwords.append(uw.astype(np.uint16))
-        dcounts.append(np.minimum(uc, 0xFFFF).astype(np.uint16))
-        wmax = max(wmax, len(uw))
+    SENT = np.uint32(1 << (2 * wl))
+    # rolling-key build per column (no [N, W, wl] strided materialize —
+    # ~3x cheaper on this host's memory bandwidth): key ending at col j
+    # = ((key << 2) | base) masked; valid iff the non-gap run length
+    # ending at j is >= wl
+    nw = Lmax_all - wl + 1
+    keys = np.full((N, nw), SENT, np.uint32)
+    key = np.zeros(N, np.uint32)
+    run = np.zeros(N, np.int32)
+    kmask = SENT - 1
+    for j in range(Lmax_all):
+        col = A[:, j]
+        isb = col != 4
+        key = ((key << 2) | col) & kmask
+        run = np.where(isb, run + 1, 0)
+        if j >= wl - 1:
+            keys[:, j - wl + 1] = np.where(run >= wl, key, SENT)
+    srt = np.sort(keys, axis=1)
+    valid = srt != SENT
+    newm = np.ones_like(valid)
+    newm[:, 1:] = srt[:, 1:] != srt[:, :-1]
+    newm &= valid
+    n_dist = newm.sum(axis=1)
+    wmax = max(int(n_dist.max()) if N else 0, 1)
+    ordpos = np.cumsum(newm, axis=1) - 1
+    rows, cols = np.nonzero(newm)
     words = np.zeros((N, wmax), np.uint16)
     word_counts = np.zeros((N, wmax), np.uint16)
-    for i, (uw, uc) in enumerate(zip(dwords, dcounts)):
-        words[i, : len(uw)] = uw
-        word_counts[i, : len(uw)] = uc
+    words[rows, ordpos[rows, cols]] = srt[rows, cols].astype(np.uint16)
+    # run lengths: global run ids over the flattened sorted matrix
+    run_id = np.cumsum(newm.ravel()) - 1
+    rl = np.bincount(run_id[valid.ravel()], minlength=max(len(rows), 1))
+    word_counts[rows, ordpos[rows, cols]] = np.minimum(
+        rl[: len(rows)], 0xFFFF).astype(np.uint16)
 
-    # cutoffs (kernel_createCutoff, func.cu exact float semantics)
+    # cutoffs (kernel_createCutoff, func.cu exact float semantics) —
+    # vectorized with the same f32/f64 promotion the scalar loop had:
+    # f32(L) * pyfloat promotes to f64 before the ceil; the word-cutoff
+    # product stays f32 x f32
     thr32 = np.float32(threshold)
-    word_cutoff = np.zeros(N, np.int64)
-    base_cutoff = np.zeros(N, np.int64)
-    for i, L in enumerate(lengths):
-        required = L - wl + 1
-        cutoff = math.ceil(np.float32(L) * (1.0 - float(thr32))) * wl
-        required -= cutoff
-        required = max(required, 1)
-        if float(thr32) >= 0.9:
-            offset = np.float32(1.1) - abs(np.float32(thr32) - np.float32(0.95)) * 2
-        else:
-            offset = np.float32(1.0)
-        word_cutoff[i] = math.ceil(np.float32(required) * offset)
-        base_cutoff[i] = math.ceil(np.float32(L) * thr32)
+    Lf32 = lengths.astype(np.float32)
+    cutoff_v = np.ceil(
+        Lf32.astype(np.float64) * (1.0 - float(thr32))
+    ).astype(np.int64) * wl
+    required_v = np.maximum(lengths - wl + 1 - cutoff_v, 1)
+    if float(thr32) >= 0.9:
+        offset = np.float32(1.1) - abs(np.float32(thr32) - np.float32(0.95)) * 2
+    else:
+        offset = np.float32(1.0)
+    word_cutoff = np.ceil(
+        required_v.astype(np.float32) * np.float32(offset)
+    ).astype(np.int64)
+    base_cutoff = np.ceil(
+        (Lf32 * thr32).astype(np.float64)
+    ).astype(np.int64)
 
-    # de-gap + 2-bit pack (little-endian bit order, func.cu:422-457)
-    net = np.array([int((a != 4).sum()) for a in nums], np.int64)
+    # de-gap + 2-bit pack (little-endian bit order, func.cu:422-457) —
+    # vectorized: a stable argsort of the gap mask compacts non-gap
+    # bases to the front of each row, order preserved
+    gap = A == 4
+    net = (~gap).sum(axis=1).astype(np.int64)
     W32 = int(net.max()) // 32 + 1
     Lmax = int(net.max())
-    low = np.zeros((N, W32), np.uint32)
-    high = np.zeros((N, W32), np.uint32)
+    order2 = np.argsort(gap, axis=1, kind="stable")
+    compact = np.take_along_axis(A, order2, axis=1)
+    colidx = np.arange(Lmax_all)[None, :]
+    codes_full = np.where(colidx < net[:, None], compact, 255).astype(np.uint8)
     codes = np.full((N, Lmax), 255, np.uint8)
+    codes[:, : min(Lmax, Lmax_all)] = codes_full[:, :Lmax]
+    padded = np.zeros((N, W32 * 32), np.uint8)
+    m = min(W32 * 32, Lmax_all)
+    padded[:, :m] = np.where(colidx < net[:, None], compact, 0)[:, :m]
+    pb = padded.reshape(N, W32, 32).astype(np.uint32)
     shifts32 = np.arange(32, dtype=np.uint32)
-    for i, a in enumerate(nums):
-        d = a[a != 4]
-        codes[i, : len(d)] = d
-        pad = np.zeros(W32 * 32, np.uint8)
-        pad[: len(d)] = d
-        pb = pad.reshape(W32, 32).astype(np.uint32)
-        low[i] = ((pb & 1) << shifts32).sum(axis=1, dtype=np.uint64).astype(np.uint32)
-        high[i] = (((pb >> 1) & 1) << shifts32).sum(axis=1, dtype=np.uint64).astype(
-            np.uint32
-        )
+    low = ((pb & 1) << shifts32).sum(axis=2, dtype=np.uint64).astype(np.uint32)
+    high = (((pb >> 1) & 1) << shifts32).sum(
+        axis=2, dtype=np.uint64).astype(np.uint32)
     return _Prepped(
         order=order,
         lengths=lengths,
@@ -341,6 +371,113 @@ def run_file(
     return res
 
 
+@functools.partial(jax.jit, static_argnames=("K",))
+def _word_min_sum(Dreps, Djobs, K: int):
+    """Device word filter: got[s, j] = sum_bins min(D[s], D[j]) via K
+    indicator MATMULS on the MXU — min(a, b) over small non-negative
+    counts decomposes as sum_{k=1..K} [a>=k]*[b>=k], so the min-sum is
+    sum_k <A_k, B_k> with A_k/B_k 0/1 matrices.  EXACT: 0/1 is exact in
+    bf16 and the MXU accumulates in f32 (sums <= 4^wl < 2^24).
+
+    This replaces the host [S, J, W] gather+min+sum intermediate
+    (hundreds of MB per round — the r4 throughput bound, VERDICT weak
+    #7) with S*J*4^wl*K MAC flops the MXU does for free."""
+    got = None
+    for k in range(1, K + 1):
+        A = (Dreps >= k).astype(jnp.bfloat16)
+        B = (Djobs >= k).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            A, B, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        got = g if got is None else got + g
+    return got.astype(jnp.int32)
+
+
+def _pack_bits_cols(a_u8):
+    """[S, J] 0/1 uint8 → [S, J//8] little-endian packed bytes (J % 8
+    == 0).  The dev-tunnel D2H link measures ~10 MB/s, so shipping an
+    accept MATRIX uncompressed (16 MB at S=256, J=64k) costs seconds
+    per greedy round; bits are 8x less, and np.unpackbits restores."""
+    S, J = a_u8.shape
+    sh = jnp.arange(8, dtype=jnp.uint32)
+    return (a_u8.reshape(S, J // 8, 8).astype(jnp.uint32)
+            << sh).sum(axis=-1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _filters_dev(D, prefix, wcut, bcut, rp, jp, K: int):
+    """Prefix filter (kernel_preFilter) + word filter (kernel_filter)
+    fused ON DEVICE, including the index gathers — ONE dispatch per
+    round (each separate jitted call costs a ~25 ms tunnel RPC).
+    Returns (pass2 [S, J] uint8 — left device-resident for the LCS
+    stage to AND against — and the bit-packed any-column vector the
+    host uses to pick LCS batches; ~J/8 bytes D2H)."""
+    pre = jnp.minimum(jnp.take(prefix, rp, axis=0)[:, None, :],
+                      jnp.take(prefix, jp, axis=0)[None, :, :]).sum(-1)
+    p1 = pre >= jnp.take(bcut, jp)[None, :]
+    got = _word_min_sum(jnp.take(D, rp, axis=0),
+                        jnp.take(D, jp, axis=0), K)
+    p2 = (p1 & (got >= jnp.take(wcut, jp)[None, :])).astype(jnp.uint8)
+    any_bits = _pack_bits_cols(jnp.max(p2, axis=0)[None, :])
+    return p2, any_bits
+
+
+@jax.jit
+def _lcs_accept_bits(low, high, net, codes, bcut, rp, jb,
+                     p2_dev, cb_idx):
+    """Batched LCS (kernel_dynamic, func.cu:609-720) + cutoff compare,
+    ANDed with the device-resident pass2 columns, bit-packed for D2H;
+    gathers fused for one dispatch per batch."""
+    matched = _lcs_multi(
+        jnp.take(low, rp, axis=0), jnp.take(high, rp, axis=0),
+        jnp.take(net, rp), jnp.take(codes, jb, axis=0),
+        jnp.take(net, jb))
+    acc = (matched > jnp.take(bcut, jb)[None, :]) & \
+        (jnp.take(p2_dev, cb_idx, axis=1) != 0)
+    return _pack_bits_cols(acc.astype(jnp.uint8))
+
+
+_DENSE_MAX_BINS = 1 << 14   # wl <= 7; beyond that the dense matrix
+#                             and matmul flops outgrow the host gather
+_DENSE_MAX_K = 8            # rare ultra-repetitive data: host fallback
+
+
+def _dense_counts(p: _Prepped, wl: int):
+    """Build (once) the device-resident dense word-count matrix."""
+    if p.dense_dev is not None:
+        return p.dense_dev, p.dense_k
+    bins = 1 << (2 * wl)
+    K = int(p.word_counts.max()) if p.word_counts.size else 0
+    if bins > _DENSE_MAX_BINS or K > _DENSE_MAX_K or K == 0:
+        p.dense_k = -1
+        return None, -1
+    N = len(p.words)
+    D = np.zeros((N, bins), np.uint8)
+    rows = np.repeat(np.arange(N), p.words.shape[1])
+    # padding slots carry count 0; maximum.at keeps a real word-0 count
+    np.maximum.at(D, (rows, p.words.ravel()),
+                  np.minimum(p.word_counts, 255).astype(np.uint8).ravel())
+    p.dense_dev = jnp.asarray(D)
+    p.dense_k = K
+    return p.dense_dev, K
+
+
+def _aux_dev(p: _Prepped) -> dict:
+    """Ship the per-read filter/LCS arrays to the device ONCE — the
+    greedy loop then only uploads index vectors per round."""
+    if p.aux_dev is None:
+        p.aux_dev = {
+            "prefix": jnp.asarray(p.prefix, jnp.int32),
+            "wcut": jnp.asarray(p.word_cutoff, jnp.int32),
+            "bcut": jnp.asarray(p.base_cutoff, jnp.int32),
+            "low": jnp.asarray(p.low),
+            "high": jnp.asarray(p.high),
+            "net": jnp.asarray(p.net_lengths, jnp.int32),
+            "codes": jnp.asarray(p.codes),
+        }
+    return p.aux_dev
+
+
 def _pow2_pad(idx: np.ndarray, cap: int, floor: int = 256) -> np.ndarray:
     """Pad an index vector to a power-of-two bucket (<= cap) by
     repeating its first entry — jit shape churn was making the greedy
@@ -355,15 +492,55 @@ def _pow2_pad(idx: np.ndarray, cap: int, floor: int = 256) -> np.ndarray:
 
 def _accept_matrix(p: _Prepped, reps: np.ndarray, jobs: np.ndarray, wl: int,
                    batch_cap: int, s_pad: int | None = None) -> np.ndarray:
-    """[S, J] bool: does candidate rep s accept job j (filters + LCS)."""
+    """[S, J] bool: does candidate rep s accept job j (filters + LCS).
+
+    Device-first (VERDICT r4 task #3): the prefix + word filters run as
+    one fused device call (_filters_dev — the word min-sum as MXU
+    matmuls), pass2 stays device-resident, the LCS stage ANDs it on
+    device, and only bit-packed vectors cross the host link.  The host
+    gather path below is the exact fallback/oracle for data the dense
+    matrix can't represent (wl > 7 or word multiplicity > 8)."""
     S, J = len(reps), len(jobs)
     acc = np.zeros((S, J), bool)
-    # prefix filter [S, J]
-    pre = np.minimum(p.prefix[reps][:, None, :], p.prefix[jobs][None, :, :]).sum(
-        axis=2
-    )
+    reps_p = reps
+    if s_pad and s_pad > S:
+        reps_p = np.concatenate([reps, np.full(s_pad - S, reps[0])])
+    D_dev, K = _dense_counts(p, wl)
+    if D_dev is None:
+        return _accept_matrix_host(p, reps, jobs, wl, batch_cap, reps_p)
+    aux = _aux_dev(p)
+    jobs_p = _pow2_pad(jobs, max(batch_cap * 4, 1 << 16))
+    rp = jnp.asarray(reps_p)
+    jp = jnp.asarray(jobs_p)
+    p2_dev, any_bits = _filters_dev(
+        D_dev, aux["prefix"], aux["wcut"], aux["bcut"], rp, jp, K)
+    anyv = np.unpackbits(np.asarray(any_bits), axis=1,
+                         bitorder="little")[0, :J]
+    cols = np.nonzero(anyv)[0]
+    pend = []
+    for s0 in range(0, len(cols), batch_cap):
+        cb = cols[s0 : s0 + batch_cap]
+        cb_p = _pow2_pad(cb, batch_cap)       # positions into jobs(_p)
+        jb = jobs_p[cb_p]
+        bits = _lcs_accept_bits(
+            aux["low"], aux["high"], aux["net"], aux["codes"],
+            aux["bcut"], rp, jnp.asarray(jb), p2_dev, jnp.asarray(cb_p))
+        pend.append((cb, bits))
+    for cb, bits in pend:                     # collect after dispatch
+        lacc = np.unpackbits(np.asarray(bits), axis=1,
+                             bitorder="little")[:S, : len(cb)]
+        acc[:, cb] = lacc != 0
+    return acc
+
+
+def _accept_matrix_host(p: _Prepped, reps, jobs, wl, batch_cap, reps_p):
+    """Host filters + device LCS — the original path, kept as the
+    exact oracle (tests) and the fallback for wl > 7 / multiplicity > 8."""
+    S, J = len(reps), len(jobs)
+    acc = np.zeros((S, J), bool)
+    pre = np.minimum(p.prefix[reps][:, None, :],
+                     p.prefix[jobs][None, :, :]).sum(axis=2)
     pass1 = pre >= p.base_cutoff[jobs][None, :]
-    # word filter
     tables = np.zeros((S, 1 << (2 * wl)), np.uint32)
     for si, r in enumerate(reps):
         m = p.word_counts[r] > 0
@@ -372,12 +549,6 @@ def _accept_matrix(p: _Prepped, reps: np.ndarray, jobs: np.ndarray, wl: int,
         tables[:, p.words[jobs]], p.word_counts[jobs][None, :, :]
     ).sum(axis=2)
     pass2 = pass1 & (got >= p.word_cutoff[jobs][None, :])
-    # LCS for surviving columns (any rep interested); reps padded to a
-    # CONSTANT row count and jobs to pow2 buckets so kernel shapes
-    # repeat across rounds (shape churn = remote recompiles)
-    reps_p = reps
-    if s_pad and s_pad > S:
-        reps_p = np.concatenate([reps, np.full(s_pad - S, reps[0])])
     cols = np.nonzero(pass2.any(axis=0))[0]
     for s0 in range(0, len(cols), batch_cap):
         cb = cols[s0 : s0 + batch_cap]
@@ -391,7 +562,7 @@ def _accept_matrix(p: _Prepped, reps: np.ndarray, jobs: np.ndarray, wl: int,
                 jnp.asarray(p.codes[jb_p]),
                 jnp.asarray(p.net_lengths[jb_p], np.int32),
             )
-        )[:S, : len(cb)]                  # [S, len(cb)]
+        )[:S, : len(cb)]
         acc[:, cb] = pass2[:, cb] & (matched > p.base_cutoff[jb][None, :])
     return acc
 

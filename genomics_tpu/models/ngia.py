@@ -199,6 +199,132 @@ def _round_step_factory(similarity: float, W: int, Lq: int):
     return round_step, rounds_step
 
 
+def _spec_accept_factory(similarity: float, W: int, Lq: int, S: int,
+                         maxs: int = -1):
+    """Speculative accept matrix: S candidate representatives filtered
+    + banded-LCS'd against ALL reads in ONE dispatch — the CDP tree's
+    kernel_iteration design (CDP/CLUSTER/func.cu:722-820) lifted into
+    the distributed loop, where the reference pays a Gather + 2xBcast
+    per representative (func.cu:306-318).  Same per-cell semantics as
+    _round_step_factory (quirks included); conflicts are resolved
+    serially-equivalently on the host."""
+    sim = float(similarity)
+
+    @jax.jit
+    def accept_body(reps, jobs, words_a, net_a, low_a, high_a, codes_a):
+        """reps [S], jobs [J] — indices; the per-read arrays are gathered
+        down to the unclustered job set inside the dispatch (J shrinks
+        as clustering progresses; full-N rounds wasted ~2x)."""
+        words = jnp.take(words_a, jobs, axis=0)
+        net = jnp.take(net_a, jobs)
+        codes = jnp.take(codes_a, jobs, axis=0)
+        N = jobs.shape[0]
+        rep_words = words_a[reps]         # [S, 256]
+        rep_net = net_a[reps]             # [S]
+        rep_low = low_a[reps]             # [S, W]
+        rep_high = high_a[reps]
+
+        # ---- word filter (func.cu:321-344), [S, N] ----
+        s = jnp.sum(
+            jnp.minimum(words[None, :, :].astype(jnp.int32),
+                        rep_words[:, None, :].astype(jnp.int32)), axis=2)
+        mlen = jnp.minimum(net[None, :], rep_net[:, None])
+        thr = mlen - jnp.ceil(
+            mlen.astype(jnp.float32) * (1.0 - sim)).astype(jnp.int32) * 4
+        jobs = s >= jnp.maximum(thr, 1)
+
+        # ---- banded bit-parallel LCS (kernel_dynamic), [S, N, W] ----
+        shift_f = jnp.ceil(
+            rep_net[:, None].astype(jnp.float32)
+            - net[None, :].astype(jnp.float32) * sim)
+        shift = jnp.ceil(shift_f / 32.0).astype(jnp.int32)     # [S, N]
+
+        # band-sliced step: the band [iw-shift, iw+shift] lies inside
+        # the static window [iw-maxs, iw+maxs] (shift <= maxs by
+        # construction), and carries never cross the band edge (cout is
+        # band-masked), so only a Bw-word dynamic slice of the row
+        # state is read/updated per step — W/Bw less HBM traffic, the
+        # bound for long reads.  maxs < 0 or Bw >= W → full-width path.
+        Bw = 2 * maxs + 1 if maxs >= 0 else W
+        sliced = 0 <= maxs and Bw < W
+
+        def base_step(row, k):
+            base = codes[:, k]
+            active = (base != 255) & (k < net)                 # [N]
+            iw = k // 32
+            if sliced:
+                start = jnp.clip(iw - maxs, 0, W - Bw)
+                row_sl = jax.lax.dynamic_slice(
+                    row, (0, 0, start), (S, N, Bw))
+                rl = jax.lax.dynamic_slice(rep_low, (0, start), (S, Bw))
+                rh = jax.lax.dynamic_slice(rep_high, (0, start), (S, Bw))
+                gw = start + jnp.arange(Bw, dtype=jnp.int32)[None, None, :]
+            else:
+                start = 0
+                row_sl = row
+                rl, rh = rep_low, rep_high
+                gw = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+            band = (gw >= (iw - shift)[..., None]) & (
+                gw <= (iw + shift)[..., None])                 # [S, N, Bw]
+            ql = jnp.where((base & 1) > 0, jnp.uint32(0xFFFFFFFF),
+                           jnp.uint32(0))[None, :, None]
+            qh = jnp.where((base & 2) > 0, jnp.uint32(0xFFFFFFFF),
+                           jnp.uint32(0))[None, :, None]
+            match = (~(rl[:, None, :] ^ ql)) & \
+                (~(rh[:, None, :] ^ qh))
+            x = row_sl & match
+            u = row_sl & (~match)
+            BW = row_sl.shape[2]
+
+            def cond(st):
+                cin, prev = st
+                return jnp.any(cin != prev)
+
+            def body(st):
+                cin, _ = st
+                t5 = row_sl + cin
+                c1 = (t5 < row_sl).astype(jnp.uint32)
+                t5b = t5 + x
+                c2 = (t5b < x).astype(jnp.uint32)
+                cout = (c1 | c2) & band.astype(jnp.uint32)
+                cin_new = jnp.concatenate(
+                    [jnp.zeros((S, N, 1), jnp.uint32), cout[:, :, :-1]],
+                    axis=2)
+                return jnp.maximum(cin_new, cin), cin
+
+            cin0 = jnp.zeros((S, N, BW), jnp.uint32)
+            cin, _ = jax.lax.while_loop(
+                cond, body, (cin0, jnp.full((S, N, BW), 1, jnp.uint32)))
+            newrow = (row_sl + cin + x) | u
+            upd = active[None, :, None] & band
+            new_sl = jnp.where(upd, newrow, row_sl)
+            if sliced:
+                row = jax.lax.dynamic_update_slice(
+                    row, new_sl, (0, 0, start))
+            else:
+                row = new_sl
+            return row, None
+
+        row0 = jnp.full((S, N, W), 0xFFFFFFFF, jnp.uint32)
+        row, _ = jax.lax.scan(base_step, row0,
+                              jnp.arange(Lq, dtype=jnp.int32))
+        bits_in_word = jnp.clip(
+            rep_net[:, None] - jnp.arange(W, dtype=jnp.int32)[None, :] * 32,
+            0, 32)
+        mask = jnp.where(
+            bits_in_word >= 32, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << bits_in_word.astype(jnp.uint32)) - 1)
+        matched = jnp.sum(
+            jax.lax.population_count((~row) & mask[:, None, :]),
+            axis=2).astype(jnp.int32)
+        cutoff = jnp.ceil(
+            jnp.minimum(net[None, :], rep_net[:, None]).astype(jnp.float32)
+            * sim).astype(jnp.int32)
+        return (jobs & (matched >= cutoff)).astype(jnp.uint8)
+
+    return accept_body
+
+
 @dataclasses.dataclass
 class NgiaResult:
     cluster: np.ndarray
@@ -210,10 +336,14 @@ def cluster_distributed(
     seqs: list[str],
     similarity: float = 0.95,
     mesh=None,
+    speculate: int = 1,
 ) -> NgiaResult:
     """Distributed greedy clustering.  If `mesh` is given, the per-read
     arrays are sharded over its `data` axis and XLA partitions every
-    round step (collectives over ICI/DCN); otherwise single-device."""
+    round step (collectives over ICI/DCN); otherwise single-device.
+    speculate=S > 1 evaluates S candidate representatives per dispatch
+    (CDP kernel_iteration) with serial-equivalent host resolution —
+    identical clustering, ~S/2 fewer round trips."""
     order, lengths, net, words, low, high, codes = _prepare(seqs)
     N = len(seqs)
     W = low.shape[1]
@@ -234,6 +364,51 @@ def cluster_distributed(
 
         arrays = [put_global(mesh, np.asarray(a)) for a in arrays]
     words_d, net_d, low_d, high_d, codes_d = arrays
+
+    if speculate > 1:
+        S = int(speculate)
+        # static band-window bound: reads sorted desc, so rep_net <=
+        # net_max and job net >= net_min → every per-pair shift fits
+        maxs = int(max(math.ceil(math.ceil(
+            float(net.max()) - float(net.min()) * similarity) / 32.0), 0))
+        accept_fn = _spec_accept_factory(similarity, W, Lq, S, maxs)
+        cluster = np.full(N, -1, np.int64)
+        pos = 0
+        while pos < N:
+            cands = []
+            k = pos
+            while k < N and len(cands) < S:
+                if cluster[k] == -1:
+                    cands.append(k)
+                k += 1
+            if not cands:
+                break
+            cands_a = np.array(cands)
+            cands_p = np.concatenate(
+                [cands_a, np.full(S - len(cands_a), cands_a[0])])
+            jobs = np.nonzero(cluster == -1)[0]
+            # pow2 bucket for shape stability (pad repeats jobs[0])
+            tgt = 1 << max(int(len(jobs) - 1).bit_length(), 8)
+            jobs_p = np.concatenate(
+                [jobs, np.full(tgt - len(jobs), jobs[0])])
+            A = np.asarray(accept_fn(
+                jnp.asarray(cands_p, jnp.int32),
+                jnp.asarray(jobs_p, jnp.int32),
+                words_d, net_d, low_d, high_d, codes_d,
+            ))[: len(cands_a), : len(jobs)] != 0         # [S, J]
+            # serial-equivalent resolution (same rule as the CLUSTER
+            # speculative path): candidates ascending; a candidate is a
+            # valid rep iff no earlier valid rep accepted it
+            for si, c in enumerate(cands_a):
+                if cluster[c] != -1:
+                    continue
+                cluster[c] = c
+                take = A[si] & (cluster[jobs] == -1)
+                cluster[jobs[np.nonzero(take)[0]]] = c
+            pos = int(cands_a[-1]) + 1
+        n = int((cluster == np.arange(N)).sum())
+        return NgiaResult(cluster=cluster, order=order, n_clusters=n)
+
     _, rounds = _round_step_factory(similarity, W, Lq)
 
     if mesh is not None:

@@ -40,3 +40,16 @@ def test_ngia_dissimilar_stay_apart():
     seqs = ["".join(rng.choice(list("ACGT"), 150)) for _ in range(8)]
     res = ngia.cluster_distributed(seqs, similarity=0.95)
     assert res.n_clusters == 8
+
+
+def test_ngia_speculative_matches_serial():
+    """speculate=S gives the IDENTICAL clustering to the serial greedy
+    loop (CDP kernel_iteration semantics with serial-equivalent
+    resolution, func.cu:722-820)."""
+    rng = np.random.default_rng(5)
+    seqs = synth(rng, fam=4, per=6)
+    seqs += ["".join(rng.choice(list("ACGT"), 120)) for _ in range(10)]
+    a = ngia.cluster_distributed(seqs, similarity=0.9)
+    b = ngia.cluster_distributed(seqs, similarity=0.9, speculate=8)
+    np.testing.assert_array_equal(a.cluster, b.cluster)
+    assert a.n_clusters == b.n_clusters
