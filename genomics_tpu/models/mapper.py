@@ -107,6 +107,13 @@ class ReadMapper:
         mem_min_len: int = 19,
         fm_index=None,                  # prebuilt FMIndex (genome-scale:
                                         # skip the in-ctor rebuild)
+        max_reseed: int = 1,            # nvBowtie re-seeding rounds for
+                                        # reads with no/weak candidates
+                                        # (mapping.cu seeding passes)
+        reseed_min_frac: float = 0.5,   # reseed while best score <
+                                        # frac * match * read_len
+        max_effort: int = 64,           # cap on scored windows per read
+                                        # per round (params.h effort cap)
     ):
         if isinstance(reference, str):
             contigs = [("ref", reference)]
@@ -163,6 +170,9 @@ class ReadMapper:
         else:
             self.fm = None
             self.index = QGramIndex(self.reference, q=seed_len)
+        self.max_reseed = int(max_reseed)
+        self.reseed_min_frac = float(reseed_min_frac)
+        self.max_effort = int(max_effort)
         self.params = params or AlignmentParams(
             match=2, mismatch=6, gap_open=5, gap_extend=3
         )
@@ -289,10 +299,14 @@ class ReadMapper:
             return []
         return self._vote(np.array([p - o for o, p in pairs]))
 
-    def _seed_batch(self, codes_list: list[np.ndarray]):
+    def _seed_batch(self, codes_list: list[np.ndarray],
+                    interval: int | None = None, phase: int = 0):
         """All (variant, seed_offset, key) triples, vectorized across
-        variants grouped by length."""
+        variants grouped by length.  interval/phase override the seed
+        placement for re-seeding rounds (denser, offset-shifted seeds —
+        nvBowtie's repeated seeding passes, mapping.cu)."""
         q = self.seed_len
+        iv = interval or self.seed_interval
         lens = np.array([len(c) for c in codes_list], np.int64)
         keys_cat, owner_cat, offs_cat = [], [], []
         shifts = 2 * np.arange(q - 1, -1, -1, dtype=np.int64)
@@ -301,7 +315,9 @@ class ReadMapper:
                 continue
             vids = np.flatnonzero(lens == L)
             mat = np.stack([codes_list[v] for v in vids])      # [V, L]
-            offs = np.arange(0, L - q + 1, self.seed_interval)
+            offs = np.arange(phase % iv, L - q + 1, iv)
+            if not len(offs):
+                continue
             win = np.lib.stride_tricks.sliding_window_view(
                 mat, q, axis=1)[:, offs]                       # [V, O, q]
             keys = (win.astype(np.int64) << shifts).sum(axis=2)
@@ -316,7 +332,9 @@ class ReadMapper:
         return (np.concatenate(keys_cat), np.concatenate(owner_cat),
                 np.concatenate(offs_cat))
 
-    def _diagonals_all(self, codes_list: list[np.ndarray]) -> list[list[int]]:
+    def _diagonals_all(self, codes_list: list[np.ndarray],
+                       interval: int | None = None,
+                       phase: int = 0) -> list[list[int]]:
         """Batched seeding: ONE index lookup for every seed of every
         read/strand variant (replaces the per-read hits() calls —
         nvBowtie's map_queries similarly seeds the whole batch in one
@@ -329,7 +347,8 @@ class ReadMapper:
         (ops/fm_search), SA ranges resolve to positions host-side."""
         if self.seeder not in ("qgram", "fmdev"):
             return [self._diagonals(c) for c in codes_list]
-        keys, owner, offs = self._seed_batch(codes_list)
+        keys, owner, offs = self._seed_batch(
+            codes_list, interval=interval, phase=phase)
         out: list[list[int]] = [[] for _ in codes_list]
         if not len(keys):
             return out
@@ -384,19 +403,53 @@ class ReadMapper:
             out[i] = mt * int(eq.sum()) - mm * int(L - eq.sum())
         return out
 
+    def _ed_scores(self, q_list, t_list):
+        """Stage-1 EDIT DISTANCES via the batched Myers bit-vector
+        kernel (ops/myers.py — nvBowtie's `ed` scoring backend;
+        SW-Gotoh is its second backend, exactly this mapper's stage 2).
+        Semiglobal: the read may start anywhere in the window."""
+        import jax.numpy as jnp
+
+        from genomics_tpu.ops import myers
+
+        lut = np.full(16, 255, np.uint8)     # 4-bit → 2-bit codes
+        for c2, c4 in [(0, 1), (1, 3), (2, 7), (3, 4)]:
+            lut[c4] = c2
+        B = len(q_list)
+        Lp = max(len(q) for q in q_list)
+        Lt = max(len(t) for t in t_list)
+        parr = np.full((B, Lp), 255, np.uint8)
+        tarr = np.full((B, Lt), 255, np.uint8)
+        plen = np.zeros(B, np.int32)
+        tlen = np.zeros(B, np.int32)
+        for i, (q, t) in enumerate(zip(q_list, t_list)):
+            parr[i, : len(q)] = lut[q]
+            tarr[i, : len(t)] = lut[t]
+            plen[i], tlen[i] = len(q), len(t)
+        W = (Lp + 31) // 32
+        eq = myers.build_eq_masks(parr, plen, W)
+        best, _end, _fin = myers.myers_batch(
+            jnp.asarray(eq), jnp.asarray(plen),
+            jnp.asarray(tarr), jnp.asarray(tlen))
+        return np.asarray(best).astype(np.int64)
+
     def _score_candidates(
         self, reads: list[str], both_strands: bool = True,
-        two_stage: bool = False,
+        two_stage=False, seed_interval: int | None = None,
+        seed_phase: int = 0,
     ) -> list[list[_Candidate]]:
         """Seed/locate/score all reads (and strands) in one dispatch →
         per-read candidate lists sorted by descending score.
 
-        two_stage=True inserts nvBowtie's cheap-then-expensive scoring
-        (score.cu best-approx pipeline): every candidate window gets an
-        ungapped diagonal score first and only the top max_candidates
-        windows per read run the gapped traceback DP (negative-scoring
-        windows are kept only when a read has nothing better — an
-        early-indel alignment can look bad ungapped)."""
+        two_stage=True|"ungapped" inserts nvBowtie's cheap-then-
+        expensive scoring (score.cu best-approx pipeline): every
+        candidate window gets an ungapped diagonal score first and only
+        the top max_candidates windows per read run the gapped
+        traceback DP.  two_stage="ed" uses the batched Myers edit
+        distance as the cheap stage instead — the two scoring BACKENDS
+        of nvBowtie (EditDistance then SmithWaterman, score.cu).
+        seed_interval/seed_phase override seed placement (re-seeding
+        rounds)."""
         variants_all = []          # (read_idx, seq, rev)
         for ri, read in enumerate(reads):
             variants_all.append((ri, read, False))
@@ -406,7 +459,8 @@ class ReadMapper:
 
         codes2_list = [encode2(seq) for _, seq, _ in variants_all]
         codes4_list = [encode4(seq) for _, seq, _ in variants_all]
-        diag_lists = self._diagonals_all(codes2_list)
+        diag_lists = self._diagonals_all(
+            codes2_list, interval=seed_interval, phase=seed_phase)
         # flatten candidates and clip windows to the owning contig,
         # all vectorized (alignments never straddle contigs)
         n_per = np.array([len(d) for d in diag_lists], np.int64)
@@ -435,9 +489,28 @@ class ReadMapper:
         starts = s_arr.tolist()
         strands = rev_arr[vi].tolist() if len(vi) else []
         windiags = np.maximum(diag - s_arr, 0).tolist()
+        if (not two_stage) and q_list and self.max_effort:
+            # effort cap (params.h's max-effort knob): bound the scored
+            # windows per read even without the cheap stage
+            keep_idx = []
+            per_read: dict[int, int] = {}
+            for i, ri in enumerate(owners):
+                if per_read.get(ri, 0) < self.max_effort:
+                    per_read[ri] = per_read.get(ri, 0) + 1
+                    keep_idx.append(i)
+            if len(keep_idx) < len(q_list):
+                q_list = [q_list[i] for i in keep_idx]
+                t_list = [t_list[i] for i in keep_idx]
+                owners = [owners[i] for i in keep_idx]
+                starts = [starts[i] for i in keep_idx]
+                strands = [strands[i] for i in keep_idx]
         if two_stage and q_list:
-            ug = self._ungapped_scores(q_list, t_list, windiags)
-            order = np.lexsort((np.arange(len(ug)), -ug))
+            if two_stage == "ed":
+                ed = self._ed_scores(q_list, t_list)
+                order = np.lexsort((np.arange(len(ed)), ed))
+            else:
+                ug = self._ungapped_scores(q_list, t_list, windiags)
+                order = np.lexsort((np.arange(len(ug)), -ug))
             keep_idx = []
             per_read: dict[int, int] = {}
             for i in order:
@@ -511,9 +584,35 @@ class ReadMapper:
     ) -> list:
         """report='best' → one Mapping per read (default); report='all'
         or an int N → list of Mappings per read, best-first (nvBowtie's
-        all / best-N reporting, reduce.cu)."""
+        all / best-N reporting, reduce.cu).  Reads with no candidates or
+        best score < reseed_min_frac * perfect get up to max_reseed
+        extra seeding rounds with denser offset-shifted seeds
+        (nvBowtie's repeated seeding passes, mapping.cu)."""
         cands = self._score_candidates(reads, both_strands,
                                        two_stage=two_stage)
+        for round_i in range(self.max_reseed):
+            weak = [
+                i for i, (r, lst) in enumerate(zip(reads, cands))
+                if not lst or lst[0].score <
+                self.reseed_min_frac * self.params.match * len(r)
+            ]
+            if not weak:
+                break
+            iv = max(self.seed_interval // 2, 1)
+            ph = ((round_i + 1) * max(iv // 2, 1)) % max(iv, 1)
+            extra = self._score_candidates(
+                [reads[i] for i in weak], both_strands,
+                two_stage=two_stage, seed_interval=iv, seed_phase=ph)
+            for i, lst2 in zip(weak, extra):
+                merged = cands[i] + lst2
+                merged.sort(key=lambda c: (-c.score, c.pos))
+                seen, uniq = set(), []
+                for c in merged:
+                    k = (c.pos, c.reverse)
+                    if k not in seen:
+                        seen.add(k)
+                        uniq.append(c)
+                cands[i] = uniq
         if report == "best":
             return [self._reduce(r, c) for r, c in zip(reads, cands)]
         out = []
