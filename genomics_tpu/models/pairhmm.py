@@ -112,6 +112,42 @@ def compute_likelihoods(records, replicate_to: int | None = None,
     )
 
 
+def compute_region_likelihoods(regions, exact: bool = False):
+    """GATK HaplotypeCaller-shaped REGION batches: each region carries
+    R reads and H candidate haplotypes and needs the full R x H
+    likelihood matrix (the reference's real_data drivers pack exactly
+    this cross product per region — the NUM_ADD {read_haplotype_number;
+    address_array} blob of Non-CDP/PairHMM/.../warp_based.cu:14-18,
+    341-408).  All regions' cross products flatten into ONE inter-task
+    batch (the TPU analog of the packed blob), one kernel dispatch.
+
+    regions: list of {"reads": [{read, base_quals, ins_quals,
+    del_quals}], "haps": [str|bytes]}.
+    Returns (list of [R, H] f32 matrices, PairHMMResult over the flat
+    batch)."""
+    flat = []
+    shapes = []
+    for reg in regions:
+        rds, haps = reg["reads"], reg["haps"]
+        shapes.append((len(rds), len(haps)))
+        for r in rds:
+            for h in haps:
+                flat.append({
+                    "read": r["read"],
+                    "base_quals": r["base_quals"],
+                    "ins_quals": r["ins_quals"],
+                    "del_quals": r["del_quals"],
+                    "hap": h,
+                })
+    res = compute_likelihoods(flat, exact=exact)
+    out = []
+    k = 0
+    for (R, H) in shapes:
+        out.append(res.likelihoods[k:k + R * H].reshape(R, H))
+        k += R * H
+    return out, res
+
+
 def run_dataset(path: str, fakesize: int | None = None,
                 exact: bool = False) -> PairHMMResult:
     """The reference driver flow: parse dataset, (optionally) replicate

@@ -83,3 +83,42 @@ def test_pairhmm_full_dataset_grid():
             r["read"], r["hap"], r["base_quals"], r["ins_quals"], r["del_quals"]
         )
         np.testing.assert_allclose(g, want, rtol=2e-6, err_msg=name)
+
+
+def test_region_batch_matches_gold():
+    """GATK-shaped region cross products (reads x haps per region, the
+    NUM_ADD packing of warp_based.cu:14-18) through ONE flattened
+    batch — spot-checked against the per-pair gold."""
+    from genomics_tpu.models.pairhmm import compute_region_likelihoods
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    regions = []
+    for _ in range(3):
+        hap0 = bases[rng.integers(0, 4, 48)]
+        haps = [hap0.tobytes(),
+                np.roll(hap0, 1).tobytes()]
+        rds = []
+        for _r in range(4):
+            rd = hap0[4:36].copy()
+            rd[rng.integers(0, 32, 2)] = bases[rng.integers(0, 4, 2)]
+            rds.append({
+                "read": rd.tobytes(),
+                "base_quals": rng.integers(20, 40, 32),
+                "ins_quals": rng.integers(30, 45, 32),
+                "del_quals": rng.integers(30, 45, 32),
+            })
+        regions.append({"reads": rds, "haps": haps})
+    mats, _res = compute_region_likelihoods(regions)
+    assert [m.shape for m in mats] == [(4, 2)] * 3
+    for gi in (0, 2):
+        for ri in (0, 3):
+            for hi in (0, 1):
+                r = regions[gi]["reads"][ri]
+                want = golds.pairhmm_forward(
+                    r["read"], regions[gi]["haps"][hi],
+                    r["base_quals"], r["ins_quals"], r["del_quals"])
+                got = mats[gi][ri, hi]
+                assert np.isfinite(got)
+                rel = abs(float(got) - float(want)) / abs(float(want))
+                assert rel < 1e-5, (gi, ri, hi, got, want)
