@@ -142,7 +142,7 @@ def bench_sw_tb_walk(B=4096, L=152):
     return chain * B * L * L / best / 1e9
 
 
-def bench_pairhmm(B=16384, R=128, C=128, chain=10, exact=False):
+def bench_pairhmm(B=16384, R=128, C=128, chain=40, exact=False):
     import jax
     import jax.numpy as jnp
 

@@ -55,8 +55,10 @@ class FMIndex:
             )
         self.n = len(codes) + 1   # text + appended sentinel
         # genome-scale path: native linear-time SA-IS + BWT
-        # (native/sais.cpp, the nvbio/sufsort replacement — a 50 Mbp
-        # reference indexes in seconds); numpy prefix doubling fallback
+        # (native/sais.cpp, the nvbio/sufsort replacement — int32 below
+        # ~2.1 G symbols, int64 above: a 3.3 Gbp genome builds in ~44
+        # min / 69 GB peak, GENOME_SCALE.json); numpy prefix doubling
+        # fallback
         from genomics_tpu.runtime import native
 
         codes_u8 = codes.astype(np.uint8)

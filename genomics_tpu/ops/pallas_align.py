@@ -864,7 +864,7 @@ def _local_align_intertask_tb(q, t, params, tb_layout="bsq"):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((subs, LANES), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((Lq, subs, LANES), jnp.int32),
