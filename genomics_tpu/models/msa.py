@@ -169,8 +169,12 @@ def backtrack_batch(Ms, cenc, seqs, slens, sub_table=None, has_sub=False):
     KMAX = max(m1, n1)
     ks = jnp.arange(1, KMAX + 1, dtype=jnp.int32)
     BIG = jnp.int32(1 << 30)
+    # column reads come from a transposed copy so BOTH per-step walk
+    # gathers are contiguous rows (a strided column gather was ~20% of
+    # the walk time, measured r5)
+    MsT = jnp.swapaxes(Ms, 1, 2)
 
-    def one(M, seq, n):
+    def one(M, MT, seq, n):
         def cond(st):
             i, j, _, _ = st
             return (i != 0) | (j != 0)
@@ -184,7 +188,7 @@ def backtrack_batch(Ms, cenc, seqs, slens, sub_table=None, has_sub=False):
             else:
                 s = jnp.where(ci == sj, MATCH, MISMATCH).astype(jnp.int32)
             row = jax.lax.dynamic_index_in_dim(M, i, 0, keepdims=False)
-            col = jax.lax.dynamic_index_in_dim(M, j, 1, keepdims=False)
+            col = jax.lax.dynamic_index_in_dim(MT, j, 0, keepdims=False)
             Mij = row[j]
             diag = (i > 0) & (j > 0) & (s + M[jnp.maximum(i - 1, 0),
                                               jnp.maximum(j - 1, 0)] == Mij)
@@ -206,7 +210,7 @@ def backtrack_batch(Ms, cenc, seqs, slens, sub_table=None, has_sub=False):
         _, _, space, so = jax.lax.while_loop(cond, body, init)
         return space, so
 
-    return jax.vmap(one)(Ms, seqs, jnp.asarray(slens, jnp.int32))
+    return jax.vmap(one)(Ms, MsT, seqs, jnp.asarray(slens, jnp.int32))
 
 
 def backtrack(M: np.ndarray, center: str, seq: str, sub_table=None):
@@ -301,18 +305,23 @@ def msa(seqs: list[str], center_idx: int | None = None,
             aligned_center = (
                 aligned_center[:pos] + "-" * int(space_center[pos]) + aligned_center[pos:]
             )
+    any_center_gaps = bool(space_center.any())
     out = []
     for k, s in enumerate(others):
         a = s
-        for pos in range(len(s), -1, -1):
-            if so[k, pos] > 0:
-                a = a[:pos] + "-" * int(so[k, pos]) + a[pos:]
-        shift = 0
-        for pos in range(m + 1):
-            num = int(space_center[pos] - space[k, pos])
-            if num > 0:
-                a = a[: pos + shift] + "-" * num + a[pos + shift :]
-            shift += int(space_center[pos])
+        # fast paths: substitution-only alignments (the common case)
+        # have no gap insertions at all — skip the per-position scans
+        if so[k].any():
+            for pos in range(len(s), -1, -1):
+                if so[k, pos] > 0:
+                    a = a[:pos] + "-" * int(so[k, pos]) + a[pos:]
+        if any_center_gaps:
+            shift = 0
+            for pos in range(m + 1):
+                num = int(space_center[pos] - space[k, pos])
+                if num > 0:
+                    a = a[: pos + shift] + "-" * num + a[pos + shift :]
+                shift += int(space_center[pos])
         out.append(a)
     out.insert(center_idx, aligned_center)
     return out, center_idx
