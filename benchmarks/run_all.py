@@ -15,7 +15,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_sw(B=16384, L=152, chain=60):
+def bench_sw(B=16384, L=152, chain=120):
     import jax
     import jax.numpy as jnp
 
@@ -219,7 +219,7 @@ def bench_pairhmm(B=16384, R=128, C=128, chain=40, exact=False):
     return chain * B * R * C / best / 1e9
 
 
-def bench_myers(B=16384, Lp=96, Lt=152, chain=10):
+def bench_myers(B=16384, Lp=96, Lt=152, chain=30):
     import jax
     import jax.numpy as jnp
 
@@ -281,7 +281,7 @@ def bench_myers(B=16384, Lp=96, Lt=152, chain=10):
     return B * Lp * Lt / dt / 1e9
 
 
-def bench_ksw(B=16384, L=152, chain=10):
+def bench_ksw(B=16384, L=152, chain=30):
     import jax
     import jax.numpy as jnp
 
@@ -317,7 +317,7 @@ def bench_ksw(B=16384, L=152, chain=10):
     return chain * B * L * L / best / 1e9
 
 
-def bench_ksw_scores(B=16384, L=152, chain=10):
+def bench_ksw_scores(B=16384, L=152, chain=30):
     import jax
     import jax.numpy as jnp
 
@@ -354,7 +354,7 @@ def bench_ksw_scores(B=16384, L=152, chain=10):
     return chain * B * L * L / best / 1e9
 
 
-def bench_banded_scores(B=16384, L=152, chain=10, band_width_tiles=4):
+def bench_banded_scores(B=16384, L=152, chain=30, band_width_tiles=4):
     import jax
     import jax.numpy as jnp
 
@@ -390,7 +390,7 @@ def bench_banded_scores(B=16384, L=152, chain=10, band_width_tiles=4):
     return chain * B * L * L / best / 1e9
 
 
-def bench_banded(B=16384, L=152, chain=10, band_width_tiles=4):
+def bench_banded(B=16384, L=152, chain=30, band_width_tiles=4):
     import jax
     import jax.numpy as jnp
 
@@ -632,7 +632,7 @@ def bench_pairhmm_regions(n_regions=48, reads_per=32, haps_per=8,
         jnp.asarray(p["delta"].T), jnp.asarray(p["xiksi"].T),
         jnp.asarray(np.pad(p["alpha"].T, ((0, 1), (0, 0)))),
     ]
-    chain = 10
+    chain = 30
 
     @jax.jit
     def many(*a):
