@@ -48,10 +48,15 @@ class FMIndex:
         # genome-scale callers pass 2-bit code arrays directly (a 3.2 Gbp
         # text as a Python string would double peak memory for nothing)
         codes = text if isinstance(text, np.ndarray) else encode2(text)
-        if (codes == 255).any():
+        if codes.size and int(codes.max()) > 3:
+            # covers 255 (encode2's non-ACGT marker) AND out-of-range
+            # ndarray inputs (e.g. 4-bit GASAL codes passed by mistake,
+            # or 2-bit arrays with N encoded as 4) — a silent build over
+            # bad symbols would corrupt every occ table
             raise ValueError(
-                "FM-index text must be ACGT only (found other symbols); "
-                "split contigs or mask N runs before indexing"
+                "FM-index text must be ACGT only / 2-bit codes 0..3 "
+                "(found other symbols); split contigs or mask N runs "
+                "before indexing"
             )
         self.n = len(codes) + 1   # text + appended sentinel
         # genome-scale path: native linear-time SA-IS + BWT
@@ -292,11 +297,13 @@ class BidirFMIndex:
     swapped).  Powers supermaximal-exact-match seeding (smems) —
     bwa-mem's mem collection, which greedy find_mems cannot produce."""
 
-    def __init__(self, text: str | bytes):
+    def __init__(self, text: "str | bytes | np.ndarray"):
         if isinstance(text, bytes):
             text = text.decode()
         self.fwd = FMIndex(text)
-        self.rev = FMIndex(text[::-1])
+        self.rev = FMIndex(
+            text[::-1] if not isinstance(text, np.ndarray)
+            else np.ascontiguousarray(text[::-1]))
         self.n = self.fwd.n
 
     def start(self):

@@ -36,10 +36,11 @@ def qgrams_of(codes: np.ndarray, q: int) -> np.ndarray:
 
 
 class QGramIndex:
-    def __init__(self, text: str | bytes, q: int = 16):
+    def __init__(self, text: "str | bytes | np.ndarray", q: int = 16):
         assert q <= 31
         self.q = q
-        self.codes = encode2(text)
+        # ndarray = 2-bit codes directly (the genome-scale path)
+        self.codes = text if isinstance(text, np.ndarray) else encode2(text)
         keys = qgrams_of(self.codes, q)
         valid = keys < (np.int64(1) << (2 * q))
         pos = np.nonzero(valid)[0].astype(np.int64)

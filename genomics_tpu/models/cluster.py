@@ -482,9 +482,14 @@ def _pow2_pad(idx: np.ndarray, cap: int, floor: int = 256) -> np.ndarray:
     """Pad an index vector to a power-of-two bucket (<= cap) by
     repeating its first entry — jit shape churn was making the greedy
     loops COMPILE-bound (every distinct job count was a fresh kernel
-    build); bucketing bounds the shape count at log2(cap)."""
+    build); bucketing bounds the shape count at log2(cap).  Above the
+    cap, pad to a 2048-multiple instead: shapes stay bounded AND a
+    multiple of 8 (the bit-packing contract — an unpadded over-cap
+    vector crashed _pack_bits_cols at e.g. 70002 jobs)."""
     n = len(idx)
     tgt = min(max(floor, 1 << (n - 1).bit_length()), max(cap, n))
+    if tgt <= n:
+        tgt = ((n + 2047) // 2048) * 2048
     if tgt <= n:
         return idx
     return np.concatenate([idx, np.full(tgt - n, idx[0], idx.dtype)])

@@ -154,22 +154,26 @@ class ReadMapper:
         self.mem_min_len = mem_min_len
         self.seeder = seeder
         self.bidir = None
+        # every index builder accepts either the string reference or the
+        # 2-bit code array (the genome-scale path sets reference=None)
+        ref_for_index = (self.reference if self.reference is not None
+                         else self.ref_codes)
         if seeder in ("fm", "hybrid", "fmdev"):
             from genomics_tpu.index.fmindex import FMIndex
 
             self.fm = fm_index if fm_index is not None \
-                else FMIndex(self.reference)
+                else FMIndex(ref_for_index)
             self.index = None
             self._dev_fm = None         # built lazily for seeder="fmdev"
         elif seeder == "smem":
             from genomics_tpu.index.fmindex import BidirFMIndex
 
-            self.bidir = BidirFMIndex(self.reference)
+            self.bidir = BidirFMIndex(ref_for_index)
             self.fm = self.bidir.fwd
             self.index = None
         else:
             self.fm = None
-            self.index = QGramIndex(self.reference, q=seed_len)
+            self.index = QGramIndex(ref_for_index, q=seed_len)
         self.max_reseed = int(max_reseed)
         self.reseed_min_frac = float(reseed_min_frac)
         self.max_effort = int(max_effort)
@@ -741,7 +745,7 @@ class ReadMapper:
                     seq = other_read
                     rev = False
                 ci, _ = self.contig_of(min(max(a.pos, 0),
-                                           len(self.reference) - 1))
+                                           len(self.ref_codes) - 1))
                 w_lo = max(w_lo, int(self.contig_starts[ci]))
                 w_hi = min(w_hi, int(self.contig_ends[ci]))
                 if w_hi - w_lo < len(other_read) // 2:

@@ -387,10 +387,11 @@ def cluster_distributed(
             cands_p = np.concatenate(
                 [cands_a, np.full(S - len(cands_a), cands_a[0])])
             jobs = np.nonzero(cluster == -1)[0]
-            # pow2 bucket for shape stability (pad repeats jobs[0])
-            tgt = 1 << max(int(len(jobs) - 1).bit_length(), 8)
-            jobs_p = np.concatenate(
-                [jobs, np.full(tgt - len(jobs), jobs[0])])
+            # pow2 bucket for shape stability (shared cluster helper —
+            # one padding implementation to keep correct)
+            from genomics_tpu.models.cluster import _pow2_pad
+
+            jobs_p = _pow2_pad(jobs, cap=1 << 30)
             A = np.asarray(accept_fn(
                 jnp.asarray(cands_p, jnp.int32),
                 jnp.asarray(jobs_p, jnp.int32),

@@ -128,8 +128,16 @@ def tb_walk_device(
         k, carry, buf = state
         rows = []
         for _u in range(CH):
+            prev = carry
             carry, emit = step(carry, None)
-            rows.append(emit)
+            # freeze state at exactly T steps (the last chunk may
+            # overhang): the scan this replaces hard-stopped at T, and
+            # a lane still active there must keep the step-T i/j so
+            # qstart/tstart stay bit-identical
+            valid = k * CH + _u < T
+            carry = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(valid, a, b), carry, prev)
+            rows.append(jnp.where(valid, emit, STOP))
         buf = jax.lax.dynamic_update_slice(
             buf, jnp.stack(rows), (k * CH, 0))
         return (k + 1, carry, buf)
