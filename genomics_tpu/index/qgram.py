@@ -39,8 +39,15 @@ class QGramIndex:
     def __init__(self, text: "str | bytes | np.ndarray", q: int = 16):
         assert q <= 31
         self.q = q
-        # ndarray = 2-bit codes directly (the genome-scale path)
-        self.codes = text if isinstance(text, np.ndarray) else encode2(text)
+        # ndarray = 2-bit codes directly (the genome-scale path); values
+        # above 3 (e.g. N encoded as 4) are remapped to the 255 invalid
+        # marker so qgrams_of voids their windows — same behavior the
+        # string path gets from encode2, instead of key aliasing
+        if isinstance(text, np.ndarray):
+            self.codes = np.where(text > 3, np.uint8(255),
+                                  text).astype(np.uint8)
+        else:
+            self.codes = encode2(text)
         keys = qgrams_of(self.codes, q)
         valid = keys < (np.int64(1) << (2 * q))
         pos = np.nonzero(valid)[0].astype(np.int64)

@@ -487,9 +487,10 @@ def _pow2_pad(idx: np.ndarray, cap: int, floor: int = 256) -> np.ndarray:
     multiple of 8 (the bit-packing contract — an unpadded over-cap
     vector crashed _pack_bits_cols at e.g. 70002 jobs)."""
     n = len(idx)
-    tgt = min(max(floor, 1 << (n - 1).bit_length()), max(cap, n))
-    if tgt <= n:
+    if n > cap:
         tgt = ((n + 2047) // 2048) * 2048
+    else:
+        tgt = min(max(floor, 1 << (n - 1).bit_length()), cap)
     if tgt <= n:
         return idx
     return np.concatenate([idx, np.full(tgt - n, idx[0], idx.dtype)])

@@ -171,8 +171,12 @@ def backtrack_batch(Ms, cenc, seqs, slens, sub_table=None, has_sub=False):
     BIG = jnp.int32(1 << 30)
     # column reads come from a transposed copy so BOTH per-step walk
     # gathers are contiguous rows (a strided column gather was ~20% of
-    # the walk time, measured r5)
-    MsT = jnp.swapaxes(Ms, 1, 2)
+    # the walk time, measured r5).  The copy doubles live HBM for the
+    # cube, so fall back to strided column gathers for very large
+    # batches (> 1 Gi cells ≈ 4 GB) rather than trading a 20% speedup
+    # for an OOM cliff.
+    use_T = Ms.size <= (1 << 30)
+    MsT = jnp.swapaxes(Ms, 1, 2) if use_T else Ms
 
     def one(M, MT, seq, n):
         def cond(st):
@@ -188,7 +192,12 @@ def backtrack_batch(Ms, cenc, seqs, slens, sub_table=None, has_sub=False):
             else:
                 s = jnp.where(ci == sj, MATCH, MISMATCH).astype(jnp.int32)
             row = jax.lax.dynamic_index_in_dim(M, i, 0, keepdims=False)
-            col = jax.lax.dynamic_index_in_dim(MT, j, 0, keepdims=False)
+            if use_T:
+                col = jax.lax.dynamic_index_in_dim(MT, j, 0,
+                                                   keepdims=False)
+            else:
+                col = jax.lax.dynamic_index_in_dim(MT, j, 1,
+                                                   keepdims=False)
             Mij = row[j]
             diag = (i > 0) & (j > 0) & (s + M[jnp.maximum(i - 1, 0),
                                               jnp.maximum(j - 1, 0)] == Mij)

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from genomics_tpu.models.cluster import _pow2_pad as _cluster_pow2_pad
 from genomics_tpu.utils.fasta import read_fasta
 
 _BASE_MAP = np.full(256, 255, np.uint8)
@@ -389,9 +390,7 @@ def cluster_distributed(
             jobs = np.nonzero(cluster == -1)[0]
             # pow2 bucket for shape stability (shared cluster helper —
             # one padding implementation to keep correct)
-            from genomics_tpu.models.cluster import _pow2_pad
-
-            jobs_p = _pow2_pad(jobs, cap=1 << 30)
+            jobs_p = _cluster_pow2_pad(jobs, cap=1 << 30)
             A = np.asarray(accept_fn(
                 jnp.asarray(cands_p, jnp.int32),
                 jnp.asarray(jobs_p, jnp.int32),
